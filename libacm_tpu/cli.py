@@ -1,0 +1,261 @@
+"""acmtool — command-line tool, flag- and output-compatible with the
+reference CLI (`/root/reference/src/acmtool.c`).
+
+Commands: -d decode to WAV/raw, -i info, -M/-S in-place channel retag,
+-p play. Switches: -m/-s force channels, -r raw, -q quiet, -n no output
+(benchmark mode), -o outfile, -v version. Info lines, stderr messages, WAV
+bytes and zero-padding semantics match the reference so golden tests can
+byte-compare outputs.
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+
+from . import io as acmio
+from .format import ACM_WORD, AcmException, acm_strerror, LIBACM_TPU_VERSION
+from .stream import AcmStream, acm_open_file
+
+VERSION_LINE = f"acmtool - libacm_tpu version {LIBACM_TPU_VERSION}"
+
+
+class _Config:
+    raw = False
+    force_chans = 0
+    no_output = False
+    quiet = False
+
+
+def show_header(fn: str, acm: AcmStream, cf: _Config, out=None) -> None:
+    """Info line, format identical to acmtool.c:39-54."""
+    if cf.quiet:
+        return
+    out = out or sys.stdout
+    kbps = acm.bitrate() // 1000
+    tmp = acm.time_total() // 1000
+    m, s = tmp // 60, tmp % 60
+    print(
+        f"{fn}: Length:{m:2d}:{s:02d} Chans:{acm.channels}({acm.info.acm_channels}) "
+        f"Freq:{acm.rate} A:{acm.info.acm_level}/{acm.info.acm_rows} kbps:{kbps}",
+        file=out,
+    )
+
+
+def _makefn(fn: str, ext: str) -> str:
+    """Replace from the last dot (makefn, acmtool.c:164-174)."""
+    base, dot, _ = fn.rpartition(".")
+    return (base if dot else fn) + ext
+
+
+def decode_file(fn: str, fn2: str, cf: _Config) -> None:
+    """acmtool -d (acmtool.c:231-316): decode + WAV header + zero-pad tail."""
+    try:
+        acm = acm_open_file(fn, cf.force_chans)
+    except AcmException as e:
+        print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
+        return
+
+    fo = None
+    fo_owned = False
+    if not cf.no_output:
+        if fn2 == "-":
+            fo = sys.stdout.buffer
+            cf.quiet = True
+        else:
+            fo_owned = True
+            try:
+                fo = open(fn2, "wb")
+            except OSError as e:
+                print(f"{fn2}: {e.strerror}", file=sys.stderr)
+                acm.close()
+                return
+
+    show_header(fn, acm, cf)
+
+    if not cf.raw and not cf.no_output:
+        fo.write(acmio.wav_header(acm.pcm_total(), acm.channels, acm.rate))
+
+    buflen = 16 * 1024
+    total_bytes = acm.pcm_total() * acm.channels * ACM_WORD
+    bytes_done = 0
+    while bytes_done < total_bytes:
+        try:
+            buf = acm.read_loop(buflen // 2)
+        except AcmException as e:
+            print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
+            break
+        if not buf:
+            break
+        if not cf.no_output:
+            fo.write(buf)
+        bytes_done += len(buf)
+
+    if bytes_done < total_bytes:
+        print(f"{fn}: adding filler_samples: {total_bytes - bytes_done}",
+              file=sys.stderr)
+        zeros = bytes(buflen)
+        while bytes_done < total_bytes:
+            bs = min(buflen, total_bytes - bytes_done)
+            if not cf.no_output:
+                fo.write(zeros[:bs])
+            bytes_done += bs
+
+    acm.close()
+    if fo is not None and fo_owned:
+        fo.close()
+
+
+def show_info(fn: str, cf: _Config) -> None:
+    try:
+        acm = acm_open_file(fn, cf.force_chans)
+    except AcmException as e:
+        print(f"{fn}: {acm_strerror(e.code)}")
+        return
+    show_header(fn, acm, cf)
+    acm.close()
+
+
+def set_channels_cmd(fn: str, n_chan: int) -> None:
+    try:
+        acmio.set_channels(fn, n_chan)
+    except AcmException as e:
+        detail = str(e).split(": ", 1)[-1]
+        print(f"{fn}: {detail}", file=sys.stderr)
+    except OSError as e:
+        print(f"{fn}: {e.strerror}", file=sys.stderr)
+
+
+def play_file(fn: str, cf: _Config) -> None:
+    """acmtool -p. Uses the `sounddevice` package when present; the
+    reference equivalently gates playback on libao (acmtool.c:472-482)."""
+    try:
+        import sounddevice  # type: ignore
+    except ImportError:
+        print("For audio output, please install the 'sounddevice' package.",
+              file=sys.stderr)
+        raise SystemExit(1)
+
+    import numpy as np
+
+    try:
+        acm = acm_open_file(fn, cf.force_chans)
+    except AcmException as e:
+        print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
+        return
+    show_header(fn, acm, cf)
+    data = b""
+    total = acm.pcm_total() * acm.channels * ACM_WORD
+    try:
+        data = acm.read_loop(total)
+    except AcmException as e:
+        print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
+    if len(data) < total:
+        print(f"{fn}: adding filler_samples: {total - len(data)}",
+              file=sys.stderr)
+        data += bytes(total - len(data))
+    pcm = np.frombuffer(data, dtype="<i2").reshape(-1, acm.channels)
+    sounddevice.play(pcm, acm.rate, blocking=True)
+    acm.close()
+
+
+def usage(err: int) -> "SystemExit":
+    print(VERSION_LINE)
+    print("Play:   acmtool -p [-q][-m|-s] acmfile [acmfile ...]")
+    print("Decode: acmtool -d [-q][-m|-s] [-r|-n] -o wavfile acmfile")
+    print("        acmtool -d [-q][-m|-s] [-r|-n] acmfile [acmfile ...]")
+    print("Other:  acmtool -i acmfile [acmfile ...]")
+    print("        acmtool -M|-S acmfile [acmfile ...]")
+    print("Commands:")
+    print("  -p     play file(s)")
+    print("  -d     decode audio into WAV files")
+    print("  -i     show info about ACM files")
+    print("  -M     modify ACM header to have 1 channel")
+    print("  -S     modify ACM header to have 2 channels")
+    print("Switches:")
+    print("  -m     force mono")
+    print("  -s     force stereo")
+    print("  -r     raw output - no wav header")
+    print("  -q     be quiet")
+    print("  -n     no output - for benchmarking")
+    print("  -o FN  output to file, can be used if single source file")
+    return SystemExit(err)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cf = _Config()
+    cmd_decode = cmd_info = cmd_play = cmd_chg = False
+    set_chans = 0
+    fn2 = None
+
+    try:
+        opts, args = getopt.getopt(argv, "pdiMSqhrmsnvo:")
+    except getopt.GetoptError as e:
+        print(f"bad arg: -{e.opt}", file=sys.stderr)
+        raise usage(1)
+
+    for flag, val in opts:
+        if flag == "-h":
+            raise usage(0)
+        elif flag == "-d":
+            cmd_decode = True
+        elif flag == "-i":
+            cmd_info = True
+        elif flag == "-p":
+            cmd_play = True
+        elif flag == "-M":
+            cmd_chg, set_chans = True, 1
+        elif flag == "-S":
+            cmd_chg, set_chans = True, 2
+        elif flag == "-q":
+            cf.quiet = True
+        elif flag == "-m":
+            cf.force_chans = 1
+        elif flag == "-s":
+            cf.force_chans = 2
+        elif flag == "-r":
+            cf.raw = True
+        elif flag == "-n":
+            cf.no_output = True
+        elif flag == "-o":
+            fn2 = val
+        elif flag == "-v":
+            print(VERSION_LINE)
+            return 0
+
+    if sum([cmd_decode, cmd_info, cmd_play, cmd_chg]) != 1:
+        print("only one command at a time please", file=sys.stderr)
+        raise usage(1)
+
+    if cmd_play:
+        for fn in args:
+            play_file(fn, cf)
+        return 0
+
+    if cmd_info:
+        for fn in args:
+            show_info(fn, cf)
+        return 0
+
+    if cmd_chg:
+        for fn in args:
+            set_channels_cmd(fn, set_chans)
+        return 0
+
+    # decode
+    if not args:
+        raise usage(1)
+    if fn2 is not None:
+        if len(args) != 1:
+            raise usage(1)
+        decode_file(args[0], fn2, cf)
+    else:
+        for fn in args:
+            decode_file(fn, _makefn(fn, ".raw" if cf.raw else ".wav"), cf)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

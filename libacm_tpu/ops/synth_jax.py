@@ -1,0 +1,156 @@
+"""JAX synthesis back-end: dequantize + subband filterbank + PCM format.
+
+TPU-native reformulation of the reference's `juggle_block`
+(`/root/reference/src/decode.c:508-577`): each of the log2(cols) passes is a
+pure order-2 FIR over its *raw* inputs (SURVEY §2.6, simulation-verified),
+
+    y[n] = s[n] + 2*s[n-1] + s[n-2]     (n even)
+    y[n] = 2*s[n-1] - s[n-2] - s[n]     (n odd)
+
+so a pass over the whole block is three shifted adds — no recurrence, no
+strip loop (the reference's strips are a CPU cache artifact and provably do
+not change results). Pass p views the flat rows*cols block as
+(rows<<(p+1), cols>>(p+1)); s[-2], s[-1] come from the pass's segment of the
+persistent inter-block carry `wrapbuf` (2*cols-2 ints), which becomes a
+`lax.scan` carry here instead of hidden mutable state. After pass 0 only,
++1 is added to element 0 of each pass-0 row (rounding bias,
+decode.c:561-565); with level == 0 there is no pass and no bias
+(decode.c:534-535).
+
+All arithmetic is int32 with two's-complement wraparound and the final
+`>> level` is an arithmetic shift — the bit-exact contract of the format
+(no saturation anywhere; decode.c:617-625).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scan.oracle import ScanResult
+
+
+def _wrap_layout(level: int, cols: int) -> list[tuple[int, int, int]]:
+    """Static per-pass geometry: (wrap_offset, sub_len, sub_count_factor).
+
+    Pass p's wrap segment has length 2*sub_len; segments are laid out
+    consecutively (total 2*cols-2, decode.c:803).
+    """
+    out = []
+    off = 0
+    for p in range(level):
+        sub_len = cols >> (p + 1)
+        out.append((off, sub_len, 1 << (p + 1)))
+        off += 2 * sub_len
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("level", "rows"))
+def synth_words(
+    k: jax.Array,  # int16/int32 [nb, rows, cols] coefficient indices
+    vals: jax.Array,  # int32 [nb] per-block amplitude step
+    wrap0: jax.Array,  # int32 [2*cols-2] initial carry (zeros at stream start)
+    *,
+    level: int,
+    rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Synthesize all blocks of one stream.
+
+    Returns (words int32 [nb, rows*cols] pre-shift, final wrap carry).
+    vmap over the leading file axis for batched corpora.
+    """
+    cols = 1 << level
+    n = rows * cols
+    layout = _wrap_layout(level, cols)
+    signs = {}
+    for _, sub_len, f in layout:
+        cnt = rows * f
+        sg = np.where((np.arange(cnt) & 1) == 0, 1, -1).astype(np.int32)
+        signs[sub_len] = jnp.asarray(sg[:, None])
+
+    def block_step(wrap, inp):
+        kb, val = inp
+        x = (kb.astype(jnp.int32) * val).reshape(n)
+        segs = []
+        for p, (off, sub_len, f) in enumerate(layout):
+            cnt = rows * f
+            mat = x.reshape(cnt, sub_len)
+            seg = jax.lax.dynamic_slice(wrap, (off,), (2 * sub_len,)).reshape(2, sub_len)
+            s = jnp.concatenate([seg, mat], axis=0)
+            y = signs[sub_len] * (s[2:] + s[:-2]) + 2 * s[1:-1]
+            if p == 0:
+                y = y.at[:, 0].add(1)
+            segs.append(mat[-2:].reshape(-1))
+            x = y.reshape(n)
+        new_wrap = jnp.concatenate(segs) if segs else wrap
+        return new_wrap, x
+
+    if k.shape[0] == 0:
+        return jnp.zeros((0, n), jnp.int32), wrap0
+    wrap_f, words = jax.lax.scan(block_step, wrap0, (k, vals.astype(jnp.int32)))
+    return words, wrap_f
+
+
+@functools.partial(jax.jit, static_argnames=("level",))
+def words_to_pcm(words: jax.Array, *, level: int) -> jax.Array:
+    """int32 words → int16 samples (arithmetic >> level, low 16 bits)."""
+    return (words >> level).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("level", "rows"))
+def synth_pcm(
+    k: jax.Array, vals: jax.Array, wrap0: jax.Array, *, level: int, rows: int
+) -> tuple[jax.Array, jax.Array]:
+    """Fused synth + PCM formatting: int16 [nb, rows*cols] + final carry."""
+    words, wrap_f = synth_words(k, vals, wrap0, level=level, rows=rows)
+    return words_to_pcm(words, level=level), wrap_f
+
+
+# Padded-shape cache so per-stream decode doesn't recompile for every block
+# count: nb is padded to the next power of two (garbage blocks are synthesized
+# beyond the real ones and sliced off — harmless, the carry chain only ever
+# flows forward).
+
+
+def _pad_nb(nb: int) -> int:
+    p = 1
+    while p < nb:
+        p *= 2
+    return p
+
+
+def decode_scan_result(scan: ScanResult, backend: str = "jax") -> np.ndarray:
+    """Host wrapper: ScanResult → int16 PCM words (numpy, unclamped).
+
+    Output covers the scanned blocks only; callers apply total_values /
+    channel clamping (stream layer).
+    """
+    h = scan.header
+    nb = scan.n_blocks
+    if nb == 0:
+        return np.zeros(0, dtype=np.int16)
+    nbp = _pad_nb(nb)
+    k = scan.k
+    vals = scan.val.astype(np.int32)
+    if nbp != nb:
+        k = np.concatenate(
+            [k, np.zeros((nbp - nb,) + k.shape[1:], dtype=k.dtype)], axis=0
+        )
+        vals = np.concatenate([vals, np.zeros(nbp - nb, dtype=np.int32)])
+    wrap0 = jnp.zeros(h.wrapbuf_len, dtype=jnp.int32)
+    if backend == "pallas":
+        from .synth_pallas import synth_pcm_pallas
+
+        pcm, _ = synth_pcm_pallas(
+            jnp.asarray(k)[None], jnp.asarray(vals)[None], wrap0[None],
+            level=h.level, rows=h.rows,
+        )
+        pcm = pcm[0]
+    else:
+        pcm, _ = synth_pcm(
+            jnp.asarray(k), jnp.asarray(vals), wrap0, level=h.level, rows=h.rows
+        )
+    return np.asarray(jax.device_get(pcm[:nb])).reshape(-1)

@@ -70,31 +70,36 @@ class BitReader:
     def loaded_bytes(self) -> int:
         return self._loaded_bits // 8
 
-    def _reload(self) -> None:
+    def get(self, n: int) -> int:
+        """Read n (<= 31) bits; raises BitsExhausted if the stream ends.
+
+        Failure path matches the C exactly (get_bits_reload,
+        decode.c:108-135): the previously available bits are *dropped* and
+        the reservoir keeps only the freshly reloaded bits — subsequent
+        reads (the reference's keep-trying-after-error behavior) see the
+        same bit positions the C would.
+        """
+        if self._avail >= n:
+            val = self._res & ((1 << n) - 1)
+            self._res >>= n
+            self._avail -= n
+            return val
+        # reload: top up with one (up to) 32-bit word from the stream
+        need = n - self._avail
         take = min(32, self._total_bits - self._loaded_bits)
-        if take <= 0:
-            return
         start = self._loaded_bits // 8
         word = 0
         for i in range(take // 8):
             pos = start + i
             byte = self._data[pos] if pos < len(self._data) else 0
             word |= byte << (8 * i)
-        # Old reservoir bits sit below the fresh ones (get_bits_reload,
-        # decode.c:108-135 keeps them as the low part of the result).
-        self._res |= word << self._avail
-        self._avail += take
         self._loaded_bits += take
-
-    def get(self, n: int) -> int:
-        """Read n (<= 31) bits; raises BitsExhausted if the stream ends."""
-        if self._avail < n:
-            self._reload()
-            if self._avail < n:
-                raise BitsExhausted()
-        val = self._res & ((1 << n) - 1)
-        self._res >>= n
-        self._avail -= n
+        if take < need:
+            self._res, self._avail = word, take
+            raise BitsExhausted()
+        val = self._res | ((word & ((1 << need) - 1)) << self._avail)
+        self._res = word >> need
+        self._avail = take - need
         return val
 
 
@@ -306,7 +311,17 @@ FILLERS = [
 
 @dataclasses.dataclass
 class ScanResult:
-    """Dense front-end output: everything the synthesis back-end needs."""
+    """Dense front-end output: everything the synthesis back-end needs.
+
+    The stream is modeled as a sequence of decode *attempts* ("events"),
+    exactly mirroring the reference's behavior where every `acm_read` with
+    no block ready runs one `decode_block` from the current bit position —
+    including after an error, when the C keeps going and re-interprets the
+    following bits as a fresh block header (there is no sticky error state
+    in the reference). `events[i] == 0` means attempt i produced a block;
+    a negative value is the error that attempt returned. Successful
+    attempts map, in order, to rows of `k`/`pwr`/`val`.
+    """
 
     header: AcmHeader
     #: int16[n_blocks, rows, cols] coefficient indices (midbuf indices).
@@ -315,24 +330,33 @@ class ScanResult:
     pwr: np.ndarray
     #: uint16[n_blocks] per-block amplitude step (16-bit field).
     val: np.ndarray
-    #: number of fully decoded blocks.
+    #: number of fully decoded blocks (== count of zeros in `events`).
     n_blocks: int
-    #: 0 (scanned to block cap), ACM_EXPECTED_EOF (clean EOF at a block
-    #: header or column-code boundary), or AcmError.ERR_CORRUPT /
-    #: ERR_UNEXPECTED_EOF hit while decoding block `n_blocks`.
+    #: int16[n_events] per-attempt outcome: 0 = block, else error code.
+    events: np.ndarray
+    #: terminal status after the last event: ACM_EXPECTED_EOF (clean EOF at
+    #: a block header / column-code boundary) or 0 (scanning stopped at the
+    #: block cap — the reader never needs more).
     status: int
-    #: int64[n_blocks] reservoir byte position after each block (raw_tell).
+    #: int64[n_events] reservoir byte position after each attempt (raw_tell).
     raw_tell: np.ndarray
+    #: reservoir byte position right after the header parse.
+    raw_tell0: int = 0
+    #: reservoir byte position after the terminal (failed) attempt.
+    raw_tell_end: int = 0
 
 
 def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = None) -> ScanResult:
     """Decode the variable-length bitstream into dense coefficient tensors.
 
-    Mirrors decode_block/fill_block (decode.c:491-502, 580-611): per block a
-    4-bit pwr + 16-bit val header, then per column a 5-bit filler code and
+    Mirrors decode_block/fill_block (decode.c:491-502, 580-611): per attempt
+    a 4-bit pwr + 16-bit val header, then per column a 5-bit filler code and
     that filler's coefficients. EOF at the pwr/val reads *or* at a column
     code is a clean end of stream (GET_BITS_EXPECT_EOF, decode.c:154-163 is
-    used at both sites); EOF inside a filler is an error.
+    used at both sites); EOF inside a filler is ERR_UNEXPECTED_EOF and an
+    invalid filler code / packed value is ERR_CORRUPT — both recorded as
+    events after which scanning continues from the current bit position,
+    like the reference's next decode_block call would.
     """
     rows, cols = header.rows, header.cols
     if max_blocks is None:
@@ -340,10 +364,10 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
     k_all = []
     pwr_all = []
     val_all = []
+    events = []
     tell_all = []
     status = 0
-    n = 0
-    while n < max_blocks:
+    while len(k_all) < max_blocks:
         try:
             pwr = bits.get(4)
             val = bits.get(16)
@@ -351,26 +375,28 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
             status = ACM_EXPECTED_EOF
             break
         k = np.zeros((rows, cols), dtype=np.int16)
+        outcome = 0
         try:
             for c in range(cols):
                 try:
                     ind = bits.get(5)
                 except BitsExhausted:
-                    status = ACM_EXPECTED_EOF
+                    outcome = ACM_EXPECTED_EOF
                     raise
                 FILLERS[ind](ind, bits, rows, k[:, c])
         except BitsExhausted:
-            if status != ACM_EXPECTED_EOF:
-                status = int(AcmError.ERR_UNEXPECTED_EOF)
-            break
+            if outcome == ACM_EXPECTED_EOF:
+                status = ACM_EXPECTED_EOF
+                break
+            outcome = int(AcmError.ERR_UNEXPECTED_EOF)
         except CorruptStream:
-            status = int(AcmError.ERR_CORRUPT)
-            break
-        k_all.append(k)
-        pwr_all.append(pwr)
-        val_all.append(val)
+            outcome = int(AcmError.ERR_CORRUPT)
+        events.append(outcome)
         tell_all.append(bits.loaded_bytes)
-        n += 1
+        if outcome == 0:
+            k_all.append(k)
+            pwr_all.append(pwr)
+            val_all.append(val)
     k_arr = (
         np.stack(k_all) if k_all else np.zeros((0, rows, cols), dtype=np.int16)
     )
@@ -379,9 +405,11 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
         k=k_arr,
         pwr=np.asarray(pwr_all, dtype=np.uint8),
         val=np.asarray(val_all, dtype=np.uint16),
-        n_blocks=n,
+        n_blocks=len(k_all),
+        events=np.asarray(events, dtype=np.int16),
         status=status,
         raw_tell=np.asarray(tell_all, dtype=np.int64),
+        raw_tell_end=bits.loaded_bytes,
     )
 
 
@@ -391,7 +419,10 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
     header = parse_header(bits)
     if header is None:
         raise ValueError("not an ACM stream")
-    return scan_blocks(bits, header, max_blocks)
+    tell0 = bits.loaded_bytes
+    res = scan_blocks(bits, header, max_blocks)
+    res.raw_tell0 = tell0
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -458,12 +489,14 @@ def decode_bytes(data: bytes, max_blocks: int | None = None) -> tuple[AcmHeader,
 
     Returns (header, int16 PCM words clamped to total_values, status). The
     clamp mirrors acm_read's stream_pos >= total_values stop (decode.c:837,
-    853-854). `status` is the scan's terminal status (0 / ACM_EXPECTED_EOF /
-    negative error).
+    853-854). `status` is the first error event if any, else the scan's
+    terminal status (0 / ACM_EXPECTED_EOF).
     """
     scan = scan_bytes(data, max_blocks)
     words = synth_all(scan)
     pcm = words_to_pcm(words, scan.header.level)
     if len(pcm) > scan.header.total_values:
         pcm = pcm[: scan.header.total_values]
-    return scan.header, pcm, scan.status
+    errs = scan.events[scan.events < 0]
+    status = int(errs[0]) if len(errs) else scan.status
+    return scan.header, pcm, status

@@ -1,0 +1,142 @@
+"""CLI golden tests: byte-compare acmtool outputs against the C reference's
+captured outputs (tests/goldens), plus flag/command behavior."""
+
+import contextlib
+import io
+import pathlib
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+from libacm_tpu import cli, testing
+from libacm_tpu.scan import oracle
+
+ALL_FIXTURES = [
+    "speech_22k_mono", "music_44k_stereo", "mistagged_mono", "wavc_22k",
+    "level0", "level9", "rows1", "rows4095", "eofpad", "oddtotal_stereo",
+    "partial_total", "allfillers", "corrupt", "trunc_midfiller",
+    "trunc_colbound",
+]
+
+
+def run_cli(args):
+    so, se = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(so), contextlib.redirect_stderr(se):
+        code = 0
+        try:
+            code = cli.main(args)
+        except SystemExit as e:
+            code = e.code
+    return code, so.getvalue(), se.getvalue()
+
+
+@pytest.mark.parametrize("name", ALL_FIXTURES)
+def test_raw_decode_matches_reference_golden(name, fixtures_dir, goldens_dir, tmp_path):
+    src = fixtures_dir / f"{name}.acm"
+    out = tmp_path / "out.raw"
+    _, stdout, stderr = run_cli(["-d", "-r", "-o", str(out), str(src)])
+    assert out.read_bytes() == (goldens_dir / f"{name}.raw").read_bytes()
+    assert stderr.replace(str(src), "%SRC%") == \
+        (goldens_dir / f"{name}.stderr").read_bytes().decode()
+    assert stdout.replace(str(src), "%SRC%") == \
+        (goldens_dir / f"{name}.info").read_bytes().decode()
+
+
+@pytest.mark.parametrize("name", ["speech_22k_mono", "music_44k_stereo",
+                                  "wavc_22k", "eofpad", "oddtotal_stereo"])
+def test_wav_decode_matches_reference_golden(name, fixtures_dir, goldens_dir, tmp_path):
+    src = fixtures_dir / f"{name}.acm"
+    out = tmp_path / "out.wav"
+    run_cli(["-d", "-q", "-o", str(out), str(src)])
+    assert out.read_bytes() == (goldens_dir / f"{name}.wav").read_bytes()
+
+
+def test_default_output_name(fixtures_dir, tmp_path):
+    src = tmp_path / "thing.acm"
+    shutil.copy(fixtures_dir / "rows1.acm", src)
+    run_cli(["-d", "-q", str(src)])
+    assert (tmp_path / "thing.wav").exists()
+    run_cli(["-d", "-r", "-q", str(src)])
+    assert (tmp_path / "thing.raw").exists()
+    # no dot → extension appended
+    src2 = tmp_path / "noext"
+    shutil.copy(fixtures_dir / "rows1.acm", src2)
+    run_cli(["-d", "-q", str(src2)])
+    assert (tmp_path / "noext.wav").exists()
+
+
+def test_no_output_benchmark_mode(fixtures_dir, tmp_path):
+    src = tmp_path / "x.acm"
+    shutil.copy(fixtures_dir / "rows1.acm", src)
+    code, stdout, _ = run_cli(["-d", "-n", str(src)])
+    assert code == 0
+    assert not (tmp_path / "x.wav").exists()
+    assert "Length" in stdout  # info line still printed
+
+
+def test_info_command(fixtures_dir):
+    src = fixtures_dir / "speech_22k_mono.acm"
+    code, stdout, _ = run_cli(["-i", str(src)])
+    assert code == 0
+    assert "Chans:1(1)" in stdout and "Freq:22050" in stdout
+    assert "A:7/16" in stdout
+
+
+def test_retag_channels(fixtures_dir, tmp_path):
+    from libacm_tpu import acm_open_file
+
+    src = tmp_path / "x.acm"
+    shutil.copy(fixtures_dir / "speech_22k_mono.acm", src)
+    run_cli(["-S", str(src)])
+    acm = acm_open_file(src)
+    assert acm.info.acm_channels == 2 and acm.channels == 2
+    run_cli(["-M", str(src)])
+    acm = acm_open_file(src)
+    assert acm.info.acm_channels == 1
+    # PCM words are unchanged by retagging (channel-agnostic codec)
+    orig = oracle.decode_bytes((fixtures_dir / "speech_22k_mono.acm").read_bytes())[1]
+    now = oracle.decode_bytes(src.read_bytes())[1]
+    np.testing.assert_array_equal(orig, now)
+
+
+def test_retag_refuses_non_acm(tmp_path):
+    bad = tmp_path / "bad.acm"
+    bad.write_bytes(b"not acm at all....")
+    code, _, stderr = run_cli(["-M", str(bad)])
+    assert "not an ACM file" in stderr
+
+
+def test_command_exclusivity():
+    code, _, stderr = run_cli(["-d", "-i", "x"])
+    assert code == 1
+    assert "only one command at a time" in stderr
+
+
+def test_version_flag():
+    code, stdout, _ = run_cli(["-v"])
+    assert code == 0 and "acmtool" in stdout
+
+
+def test_stdout_output(fixtures_dir):
+    # '-o -' writes binary to stdout's buffer and flips quiet mode
+    src = fixtures_dir / "rows1.acm"
+
+    class _Cap(io.TextIOBase):
+        def __init__(self):
+            self.buffer = io.BytesIO()
+
+        def write(self, s):
+            return len(s)
+
+    cap = _Cap()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        cli.main(["-d", "-r", "-o", "-", str(src)])
+    finally:
+        sys.stdout = old
+    raw = cap.buffer.getvalue()
+    want = oracle.decode_bytes(src.read_bytes())[1]
+    assert raw[: len(want) * 2] == want.astype("<i2").tobytes()

@@ -11,11 +11,24 @@ so a pass over the whole block is three shifted adds — no recurrence, no
 strip loop (the reference's strips are a CPU cache artifact and provably do
 not change results). Pass p views the flat rows*cols block as
 (rows<<(p+1), cols>>(p+1)); s[-2], s[-1] come from the pass's segment of the
-persistent inter-block carry `wrapbuf` (2*cols-2 ints), which becomes a
-`lax.scan` carry here instead of hidden mutable state. After pass 0 only,
+persistent inter-block carry `wrapbuf` (2*cols-2 ints). After pass 0 only,
 +1 is added to element 0 of each pass-0 row (rounding bias,
 decode.c:561-565); with level == 0 there is no pass and no bias
 (decode.c:534-535).
+
+**No serial scan over blocks.** The reference threads `wrapbuf` serially
+from block to block, but because every pass is an FIR on *raw* (pre-output)
+inputs, block i's pass-p carry is simply the last two rows of block i-1's
+pass-p *input* — which is already known once pass p-1 has run for all
+blocks. So the whole stream synthesizes as `level` fully-parallel steps:
+
+    x_0 = k * val                    (all blocks at once)
+    x_{p+1}[i] = FIR(x_p[i],  carry = x_p[i-1].last_two_rows)
+
+This converts the reference's inherently-serial-looking carry chain into
+pure data parallelism over blocks × files — the single most important
+transformation for the TPU mapping (everything is one big elementwise
+program, no `lax.scan`, no sequential dependency at all).
 
 All arithmetic is int32 with two's-complement wraparound and the final
 `>> level` is an arithmetic shift — the bit-exact contract of the format
@@ -48,6 +61,13 @@ def _wrap_layout(level: int, cols: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def _signs(cnt: int) -> jnp.ndarray:
+    """FIR sign pattern down a pass row axis: +1 even rows, -1 odd rows."""
+    return jnp.asarray(
+        np.where((np.arange(cnt) & 1) == 0, 1, -1).astype(np.int32)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("level", "rows"))
 def synth_words(
     k: jax.Array,  # int16/int32 [nb, rows, cols] coefficient indices
@@ -57,41 +77,34 @@ def synth_words(
     level: int,
     rows: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Synthesize all blocks of one stream.
+    """Synthesize all blocks of one stream — every pass parallel over blocks.
 
     Returns (words int32 [nb, rows*cols] pre-shift, final wrap carry).
-    vmap over the leading file axis for batched corpora.
+    vmap over a leading file axis for batched corpora.
     """
     cols = 1 << level
     n = rows * cols
-    layout = _wrap_layout(level, cols)
-    signs = {}
-    for _, sub_len, f in layout:
-        cnt = rows * f
-        sg = np.where((np.arange(cnt) & 1) == 0, 1, -1).astype(np.int32)
-        signs[sub_len] = jnp.asarray(sg[:, None])
-
-    def block_step(wrap, inp):
-        kb, val = inp
-        x = (kb.astype(jnp.int32) * val).reshape(n)
-        segs = []
-        for p, (off, sub_len, f) in enumerate(layout):
-            cnt = rows * f
-            mat = x.reshape(cnt, sub_len)
-            seg = jax.lax.dynamic_slice(wrap, (off,), (2 * sub_len,)).reshape(2, sub_len)
-            s = jnp.concatenate([seg, mat], axis=0)
-            y = signs[sub_len] * (s[2:] + s[:-2]) + 2 * s[1:-1]
-            if p == 0:
-                y = y.at[:, 0].add(1)
-            segs.append(mat[-2:].reshape(-1))
-            x = y.reshape(n)
-        new_wrap = jnp.concatenate(segs) if segs else wrap
-        return new_wrap, x
-
-    if k.shape[0] == 0:
+    nb = k.shape[0]
+    if nb == 0:
         return jnp.zeros((0, n), jnp.int32), wrap0
-    wrap_f, words = jax.lax.scan(block_step, wrap0, (k, vals.astype(jnp.int32)))
-    return words, wrap_f
+
+    x = (k.astype(jnp.int32) * vals.astype(jnp.int32)[:, None, None]).reshape(nb, n)
+    segs = []
+    for p, (off, sub_len, f) in enumerate(_wrap_layout(level, cols)):
+        cnt = rows * f
+        mat = x.reshape(nb, cnt, sub_len)
+        # carry for block i = last two raw rows of block i-1's pass-p input;
+        # block 0 takes the stream carry's pass-p segment (wrapbuf semantics)
+        seg0 = wrap0[off : off + 2 * sub_len].reshape(1, 2, sub_len)
+        prev = jnp.concatenate([seg0, mat[:-1, -2:, :]], axis=0)
+        s = jnp.concatenate([prev, mat], axis=1)  # [nb, cnt+2, sub_len]
+        y = _signs(cnt)[None, :, None] * (s[:, 2:] + s[:, :-2]) + 2 * s[:, 1:-1]
+        if p == 0:
+            y = y.at[:, :, 0].add(1)  # rounding bias (decode.c:561-565)
+        segs.append(mat[-1, -2:, :].reshape(-1))
+        x = y.reshape(nb, n)
+    wrap_f = jnp.concatenate(segs) if segs else wrap0
+    return x, wrap_f
 
 
 @functools.partial(jax.jit, static_argnames=("level",))
@@ -107,6 +120,20 @@ def synth_pcm(
     """Fused synth + PCM formatting: int16 [nb, rows*cols] + final carry."""
     words, wrap_f = synth_words(k, vals, wrap0, level=level, rows=rows)
     return words_to_pcm(words, level=level), wrap_f
+
+
+@functools.partial(jax.jit, static_argnames=("level", "rows"))
+def synth_pcm_batch(
+    k: jax.Array,  # [B, nb, rows, cols]
+    vals: jax.Array,  # [B, nb]
+    wrap0: jax.Array,  # [B, 2*cols-2]
+    *,
+    level: int,
+    rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched corpora: vmap the per-stream synth over the file axis."""
+    fn = functools.partial(synth_pcm, level=level, rows=rows)
+    return jax.vmap(fn)(k, vals, wrap0)
 
 
 # Padded-shape cache so per-stream decode doesn't recompile for every block

@@ -16,6 +16,16 @@ Layers (see SURVEY.md for the blueprint):
   - `cli`      — the acmtool command-line tool
 """
 
+import os as _os
+
+if _os.environ.get("LIBACM_TPU_PLATFORM"):
+    # Select the JAX backend before any jax initialization. The env var
+    # JAX_PLATFORMS alone is not reliable where a site hook re-exports a
+    # platform plugin (e.g. a TPU tunnel); the config update always wins.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["LIBACM_TPU_PLATFORM"])
+
 from .format import (
     ACM_ID,
     ACM_WORD,

@@ -24,6 +24,13 @@ if _plat == "cpu":
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import jax  # noqa: E402
+
+if _plat == "cpu":
+    # The env var alone does not stop an out-of-tree TPU plugin (axon) from
+    # registering itself as the default backend; the config update does.
+    jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"

@@ -1,0 +1,92 @@
+"""Corpus batch decode ≡ sequential per-file decode, with error isolation
+and sharding over the 8 virtual CPU devices (SURVEY §4.4-4.5)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from libacm_tpu import testing
+from libacm_tpu.format import AcmError
+from libacm_tpu.parallel import decode_corpus, effective_stop, make_mesh
+from libacm_tpu.scan import oracle
+
+
+def _corpus(seed=0, n=12):
+    rng = np.random.default_rng(seed)
+    files = []
+    for i in range(n):
+        level = int(rng.choice([0, 2, 4, 5]))
+        rows = int(rng.integers(1, 40))
+        nb = int(rng.integers(1, 6))
+        files.append(
+            testing.random_acm_bytes(
+                rng, level=level, rows=rows, n_blocks=nb,
+                channels=int(rng.integers(1, 3)) if (rows * (1 << level)) % 2 == 0 else 1,
+            )
+        )
+    return files
+
+
+def _oracle_decode(data):
+    h, pcm, _ = oracle.decode_bytes(data)
+    ch = h.channels
+    stop = effective_stop(h.total_values, h.block_len, ch, len(pcm))
+    return pcm[:stop]
+
+
+def test_corpus_matches_sequential():
+    files = _corpus()
+    res = decode_corpus(files)
+    assert len(res) == len(files)
+    for data, r in zip(files, res):
+        assert r.ok
+        np.testing.assert_array_equal(r.pcm, _oracle_decode(data))
+
+
+def test_corpus_sharded_matches_unsharded():
+    files = _corpus(seed=7, n=10)
+    mesh = make_mesh()
+    assert int(np.prod(mesh.devices.shape)) == len(jax.devices())
+    res_m = decode_corpus(files, mesh=mesh)
+    res_1 = decode_corpus(files)
+    for a, b in zip(res_m, res_1):
+        assert a.status == b.status
+        np.testing.assert_array_equal(a.pcm, b.pcm)
+
+
+def test_corpus_error_isolation():
+    rng = np.random.default_rng(3)
+    good = testing.random_acm_bytes(rng, level=3, rows=8, n_blocks=2)
+    res = decode_corpus([good, b"not an acm file at all", good])
+    assert res[0].ok and res[2].ok
+    assert res[1].status == AcmError.ERR_NOT_ACM
+    assert res[1].pcm is None
+    np.testing.assert_array_equal(res[0].pcm, res[2].pcm)
+
+
+def test_corpus_truncated_file_reports_filler():
+    rng = np.random.default_rng(5)
+    data = testing.random_acm_bytes(rng, level=2, rows=16, n_blocks=4)
+    cut = data[: len(data) - len(data) // 3]
+    res = decode_corpus([cut])[0]
+    h, pcm, _ = oracle.decode_bytes(cut)
+    assert res.filler_words == h.total_values - len(res.pcm)
+    np.testing.assert_array_equal(res.pcm, pcm[: len(res.pcm)])
+
+
+def test_corpus_force_chans():
+    rng = np.random.default_rng(9)
+    data = testing.random_acm_bytes(rng, level=2, rows=16, n_blocks=2, channels=1)
+    r = decode_corpus([data], force_chans=2)[0]
+    assert r.info.channels == 2
+    assert r.info.acm_channels == 1
+
+
+def test_effective_stop_odd_blocklen_stereo_wedge():
+    # block_len odd + stereo: the stranded final word of each block wedges
+    # the reference's read loop (numwords%channels clamp, decode.c:857).
+    assert effective_stop(100, 9, 2, 27) == 8
+    assert effective_stop(100, 8, 2, 24) == 24
+    assert effective_stop(7, 8, 2, 24) == 6
+    assert effective_stop(100, 9, 1, 27) == 27

@@ -1,0 +1,335 @@
+// Native bitstream scanner: serial VLC decode -> dense coefficient tensors.
+//
+// This is the host-side hot loop of the framework (the one inherently
+// sequential stage; SURVEY §2.3.2). It re-implements the observable
+// semantics of the reference decoder's bit reader and filler grammar
+// (reference: /root/reference/src/decode.c:41-163 bit reservoir,
+// decode.c:168-502 fillers, decode.c:580-611 block loop) as modeled
+// bit-for-bit by the Python oracle (libacm_tpu/scan/oracle.py) — the two
+// backends are differential-fuzzed against each other.
+//
+// Semantics contract (same as the oracle, keep in sync):
+//   - bits are LSB-first from a little-endian byte stream;
+//   - the effective stream is the file plus ONE phantom zero byte;
+//   - the reservoir is topped up in <=32-bit reloads truncated at stream
+//     end; a read that cannot be satisfied after one reload fails, keeping
+//     only the freshly reloaded bits (subsequent reads see the same bit
+//     positions the C would);
+//   - per decode attempt: 4-bit pwr + 16-bit val, then per column a 5-bit
+//     filler code + payload; EOF at pwr/val or at a column code ends the
+//     stream cleanly; EOF inside a filler payload is ERR_UNEXPECTED_EOF
+//     and an invalid filler / packed code is ERR_CORRUPT — both recorded
+//     as events after which scanning continues from the current position;
+//   - loaded-byte positions are recorded after each attempt (raw_tell).
+//
+// Build: g++ -O3 -shared -fPIC (loaded via ctypes; no Python headers).
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+constexpr int16_t ERR_CORRUPT = -6;
+constexpr int16_t ERR_UNEXPECTED_EOF = -7;
+constexpr int64_t EXPECTED_EOF = -99;
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t len;         // real file bytes
+  int64_t total_bits;  // 8 * (len + 1): file + phantom zero byte
+  int64_t loaded_bits = 0;
+  uint64_t res = 0;  // reservoir, LSB = next bit
+  int avail = 0;
+  bool fail = false;  // sticky until the caller handles it
+
+  BitReader(const uint8_t* d, int64_t n)
+      : data(d), len(n), total_bits(8 * (n + 1)) {}
+
+  inline uint32_t get(int n) {
+    if (avail >= n) {
+      uint32_t v = static_cast<uint32_t>(res) & ((1u << n) - 1);
+      res >>= n;
+      avail -= n;
+      return v;
+    }
+    int need = n - avail;
+    int take = static_cast<int>(
+        std::min<int64_t>(32, total_bits - loaded_bits));
+    int64_t start = loaded_bits >> 3;
+    uint32_t word = 0;
+    for (int i = 0; i < take / 8; i++) {
+      int64_t pos = start + i;
+      uint32_t byte = pos < len ? data[pos] : 0;
+      word |= byte << (8 * i);
+    }
+    loaded_bits += take;
+    if (take < need) {
+      res = word;
+      avail = take;
+      fail = true;
+      return 0;
+    }
+    uint64_t v = res | (static_cast<uint64_t>(word & ((1u << need) - 1))
+                        << avail);
+    res = word >> need;
+    avail = take - need;
+    return static_cast<uint32_t>(v);
+  }
+
+  inline int64_t loaded_bytes() const { return loaded_bits / 8; }
+};
+
+// Coefficient lookup maps (decode.c:168-171).
+constexpr int16_t MAP_1BIT[2] = {-1, +1};
+constexpr int16_t MAP_2BIT_NEAR[4] = {-2, -1, +1, +2};
+constexpr int16_t MAP_2BIT_FAR[4] = {-3, -2, +2, +3};
+constexpr int16_t MAP_3BIT[8] = {-4, -3, -2, -1, +1, +2, +3, +4};
+
+// Per-column filler decode. `col` points at k[0, c] with stride `stride`
+// (= cols). Returns 0 ok, ERR_CORRUPT, or ERR_UNEXPECTED_EOF (on b.fail).
+int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
+  auto chk = [&]() { return b.fail; };
+  if (ind == 0) return 0;  // f_zero: column stays zero
+  if (ind >= 3 && ind <= 16) {  // f_linear
+    int middle = 1 << (ind - 1);
+    for (int i = 0; i < rows; i++) {
+      uint32_t v = b.get(ind);
+      if (chk()) return ERR_UNEXPECTED_EOF;
+      col[i * stride] = static_cast<int16_t>(static_cast<int>(v) - middle);
+    }
+    return 0;
+  }
+  switch (ind) {
+    case 17: {  // f_k13: 0 -> two zeros, 10 -> zero, 11x -> map_1bit
+      for (int i = 0; i < rows;) {
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 2; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 1; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        uint32_t x = b.get(1);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        col[i * stride] = MAP_1BIT[x];
+        i += 1;
+      }
+      return 0;
+    }
+    case 18: {  // f_k12
+      for (int i = 0; i < rows; i++) {
+        uint32_t h = b.get(1);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (h) {
+          uint32_t x = b.get(1);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_1BIT[x];
+        }
+      }
+      return 0;
+    }
+    case 19: {  // f_t15: base-3 triples in 5 bits
+      for (int i = 0; i < rows;) {
+        uint32_t v = b.get(5);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (v >= 27) return ERR_CORRUPT;
+        int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
+                        static_cast<int16_t>((v / 3) % 3 - 1),
+                        static_cast<int16_t>(v / 9 - 1)};
+        for (int j = 0; j < 3 && i < rows; j++, i++) col[i * stride] = t[j];
+      }
+      return 0;
+    }
+    case 20: {  // f_k24
+      for (int i = 0; i < rows;) {
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 2; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 1; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        uint32_t x = b.get(2);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        col[i * stride] = MAP_2BIT_NEAR[x];
+        i += 1;
+      }
+      return 0;
+    }
+    case 21: {  // f_k23
+      for (int i = 0; i < rows; i++) {
+        uint32_t h = b.get(1);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (h) {
+          uint32_t x = b.get(2);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_2BIT_NEAR[x];
+        }
+      }
+      return 0;
+    }
+    case 22: {  // f_t27: base-5 triples in 7 bits
+      for (int i = 0; i < rows;) {
+        uint32_t v = b.get(7);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (v >= 125) return ERR_CORRUPT;
+        int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
+                        static_cast<int16_t>((v / 5) % 5 - 2),
+                        static_cast<int16_t>(v / 25 - 2)};
+        for (int j = 0; j < 3 && i < rows; j++, i++) col[i * stride] = t[j];
+      }
+      return 0;
+    }
+    case 23: {  // f_k35
+      for (int i = 0; i < rows;) {
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 2; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 1; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (b.get(1) == 0) {
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          uint32_t x = b.get(1);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_1BIT[x];
+        } else {
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          uint32_t x = b.get(2);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_2BIT_FAR[x];
+        }
+        i += 1;
+      }
+      return 0;
+    }
+    case 24: {  // f_k34
+      for (int i = 0; i < rows; i++) {
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (b.get(1) == 0) {
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          uint32_t x = b.get(1);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_1BIT[x];
+        } else {
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          uint32_t x = b.get(2);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_2BIT_FAR[x];
+        }
+      }
+      return 0;
+    }
+    case 26: {  // f_k45
+      for (int i = 0; i < rows;) {
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 2; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (b.get(1) == 0) { if (chk()) return ERR_UNEXPECTED_EOF; i += 1; continue; }
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        uint32_t x = b.get(3);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        col[i * stride] = MAP_3BIT[x];
+        i += 1;
+      }
+      return 0;
+    }
+    case 27: {  // f_k44
+      for (int i = 0; i < rows; i++) {
+        uint32_t h = b.get(1);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (h) {
+          uint32_t x = b.get(3);
+          if (chk()) return ERR_UNEXPECTED_EOF;
+          col[i * stride] = MAP_3BIT[x];
+        }
+      }
+      return 0;
+    }
+    case 29: {  // f_t37: base-11 pairs in 7 bits
+      for (int i = 0; i < rows;) {
+        uint32_t v = b.get(7);
+        if (chk()) return ERR_UNEXPECTED_EOF;
+        if (v >= 121) return ERR_CORRUPT;
+        int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
+                        static_cast<int16_t>(v / 11 - 5)};
+        for (int j = 0; j < 2 && i < rows; j++, i++) col[i * stride] = t[j];
+      }
+      return 0;
+    }
+    default:  // 1, 2, 25, 28, 30, 31: f_bad
+      return ERR_CORRUPT;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan `max_blocks` decode attempts starting after `skip_bits` header bits.
+// Outputs sized by the caller: k [max_blocks*rows*cols] (zeroed here),
+// pwr [max_blocks], val [max_blocks], events/tell [max_events].
+// meta out: [0]=n_blocks, [1]=n_events, [2]=status (0 or -99),
+//           [3]=raw_tell_end, [4]=raw_tell0 (loaded bytes after header).
+// Returns 0, or -1 if max_events was hit (allocate more; should not happen
+// with the documented bound of one event per 20 payload bits).
+int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
+                        int64_t skip_bits, int32_t level, int32_t rows,
+                        int64_t max_blocks, int64_t max_events,
+                        int16_t* k_out, uint8_t* pwr_out, uint16_t* val_out,
+                        int16_t* events_out, int64_t* tell_out,
+                        int64_t* meta) {
+  const int cols = 1 << level;
+  const int64_t block_elems = static_cast<int64_t>(rows) * cols;
+  BitReader b(data, nbytes);
+  // replay the header reads (any split into <=31-bit gets leaves the
+  // reservoir in the same state; positions drive reload phases)
+  for (int64_t left = skip_bits; left > 0;) {
+    int n = static_cast<int>(std::min<int64_t>(24, left));
+    b.get(n);
+    left -= n;
+  }
+  meta[4] = b.loaded_bytes();
+
+  int64_t n_blocks = 0, n_events = 0, status = 0;
+  while (n_blocks < max_blocks) {
+    uint32_t pwr = b.get(4);
+    uint32_t val = b.get(16);
+    if (b.fail) {
+      status = EXPECTED_EOF;
+      break;
+    }
+    if (n_events >= max_events) {
+      meta[0] = n_blocks; meta[1] = n_events; meta[2] = 0;
+      meta[3] = b.loaded_bytes();
+      return -1;
+    }
+    int16_t* k_block = k_out + n_blocks * block_elems;
+    std::memset(k_block, 0, block_elems * sizeof(int16_t));
+    int outcome = 0;
+    bool clean_eof = false;
+    for (int c = 0; c < cols; c++) {
+      uint32_t ind = b.get(5);
+      if (b.fail) {
+        clean_eof = true;  // EOF at a column code is a clean stream end
+        break;
+      }
+      outcome = decode_column(b, static_cast<int>(ind), rows, k_block + c,
+                              cols);
+      if (outcome != 0) break;
+    }
+    if (clean_eof) {
+      status = EXPECTED_EOF;
+      break;
+    }
+    if (b.fail) b.fail = false;  // unexpected EOF: keep scanning after event
+    events_out[n_events] = static_cast<int16_t>(outcome);
+    tell_out[n_events] = b.loaded_bytes();
+    n_events++;
+    if (outcome == 0) {
+      pwr_out[n_blocks] = static_cast<uint8_t>(pwr);
+      val_out[n_blocks] = static_cast<uint16_t>(val);
+      n_blocks++;
+    }
+  }
+  meta[0] = n_blocks;
+  meta[1] = n_events;
+  meta[2] = status;
+  meta[3] = b.loaded_bytes();
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,101 @@
+"""Differential fuzz: C++ scanner ≡ NumPy oracle on every field.
+
+The native scanner re-implements the serial VLC hot loop; any divergence
+from the oracle (the executable spec) is a bug. Fixtures + random streams +
+adversarial mutations (truncation, bit flips) are compared field by field.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from libacm_tpu import testing
+from libacm_tpu.scan import native, oracle
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native scanner did not build"
+)
+
+FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
+
+
+def _assert_same(data: bytes):
+    try:
+        want = oracle.scan_bytes(data)
+    except ValueError:
+        with pytest.raises(ValueError):
+            native.scan_bytes(data)
+        return
+    got = native.scan_bytes(data)
+    assert got.header == want.header
+    assert got.n_blocks == want.n_blocks
+    np.testing.assert_array_equal(got.k, want.k)
+    np.testing.assert_array_equal(got.pwr, want.pwr)
+    np.testing.assert_array_equal(got.val, want.val)
+    np.testing.assert_array_equal(got.events, want.events)
+    assert got.status == want.status
+    np.testing.assert_array_equal(got.raw_tell, want.raw_tell)
+    assert got.raw_tell0 == want.raw_tell0
+    assert got.raw_tell_end == want.raw_tell_end
+
+
+def test_fixture_parity():
+    for f in sorted(FIXTURES.glob("*.acm")):
+        _assert_same(f.read_bytes())
+
+
+def test_random_streams():
+    rng = np.random.default_rng(42)
+    for _ in range(30):
+        level = int(rng.integers(0, 7))
+        rows = int(rng.integers(1, 50))
+        nb = int(rng.integers(1, 8))
+        data = testing.random_acm_bytes(
+            rng, level=level, rows=rows, n_blocks=nb,
+            wavc=bool(rng.integers(0, 2)), max_pwr=int(rng.integers(0, 16)),
+        )
+        _assert_same(data)
+
+
+def test_truncations():
+    rng = np.random.default_rng(7)
+    data = testing.random_acm_bytes(rng, level=3, rows=20, n_blocks=4)
+    for cut in range(14, len(data), max(1, len(data) // 40)):
+        _assert_same(data[:cut])
+
+
+def test_bitflip_corruptions():
+    rng = np.random.default_rng(13)
+    data = bytearray(testing.random_acm_bytes(rng, level=4, rows=16, n_blocks=3))
+    for _ in range(60):
+        mut = bytearray(data)
+        for _ in range(int(rng.integers(1, 6))):
+            pos = int(rng.integers(14, len(mut)))
+            mut[pos] ^= 1 << int(rng.integers(0, 8))
+        _assert_same(bytes(mut))
+
+
+def test_all_linear_widths_and_extreme_vals():
+    # f_linear at every width incl. the full-range 16-bit edge (k = -32768)
+    for ind in range(3, 17):
+        count = 1 << (ind - 1)
+        rows, cols = 8, 4
+        k = np.full((rows, cols), -count, dtype=np.int32)
+        k[::2] = count - 1
+        blk = testing.BlockData(pwr=15, val=65535, k=k, fillers=[ind] * cols)
+        data = testing.encode_acm([blk], total_values=rows * cols, level=2,
+                                  rows=rows)
+        _assert_same(data)
+
+
+def test_max_blocks_cap():
+    rng = np.random.default_rng(3)
+    data = testing.random_acm_bytes(rng, level=2, rows=8, n_blocks=6)
+    for cap in (0, 1, 3, 6, 10):
+        want = oracle.scan_bytes(data, cap)
+        got = native.scan_bytes(data, cap)
+        assert got.n_blocks == want.n_blocks
+        np.testing.assert_array_equal(got.k, want.k)
+        np.testing.assert_array_equal(got.events, want.events)
+        assert got.status == want.status

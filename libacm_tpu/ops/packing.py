@@ -1,0 +1,136 @@
+"""Wire-format packing of coefficient tensors (host pack → device unpack).
+
+Corpus decode ships dense int16 coefficient indices `k` to the device; at
+2 bytes/sample that transfer dominates end-to-end time on hosts with slow
+links. But most blocks use only a few bits per coefficient (k is bounded
+by the block's 4-bit `pwr`: |k| <= 2^pwr, SURVEY §2.4), so blocks are
+classified by their actual coefficient range into three width classes —
+4-bit (two nibbles per byte), 8-bit, and 16-bit — packed on the host with
+vectorized NumPy, and unpacked on device with shifts/masks inside the same
+jitted program that synthesizes PCM. Classification uses the *observed*
+per-block max|k| (not `pwr`), so nonconforming streams still round-trip
+exactly.
+
+The unpacked result is bit-identical to the unpacked path; packing only
+changes bytes on the wire (typically ~2x fewer, content-dependent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class PackedBlocks:
+    """Host-side packed coefficients for one [nb, rows, cols] tensor.
+
+    Block order is preserved via the idx arrays: block `idx4[i]` is the
+    i-th 4-bit-packed block, etc. Every block belongs to exactly one class.
+    Payload shapes are padded on the block axis (n4p/n8p/n16p) so batched
+    corpora share compiled shapes; idx entries for padding point at
+    dummy slot nb (sliced off after scatter).
+    """
+
+    nb: int
+    rows: int
+    cols: int
+    p4: np.ndarray  # int8 [n4p, ceil(block_len/2)] two nibbles per byte
+    p8: np.ndarray  # int8 [n8p, block_len]
+    p16: np.ndarray  # int16 [n16p, block_len]
+    idx4: np.ndarray  # int32 [n4p]
+    idx8: np.ndarray  # int32 [n8p]
+    idx16: np.ndarray  # int32 [n16p]
+
+    @property
+    def wire_bytes(self) -> int:
+        return (self.p4.nbytes + self.p8.nbytes + self.p16.nbytes
+                + self.idx4.nbytes + self.idx8.nbytes + self.idx16.nbytes)
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = np.zeros((n - a.shape[0],) + a.shape[1:], dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def pack_blocks(k: np.ndarray, pad_to: tuple[int, int, int] | None = None) -> PackedBlocks:
+    """Pack [nb, rows, cols] int16 coefficients into width classes.
+
+    `pad_to` pads the three class counts (for shared compiled shapes).
+    """
+    nb, rows, cols = k.shape
+    n = rows * cols
+    half = (n + 1) // 2
+    flat = k.reshape(nb, n)
+    if nb:
+        mx = np.max(flat, axis=1)
+        mn = np.min(flat, axis=1)
+        is4 = (mx <= 7) & (mn >= -8)
+        is8 = ~is4 & (mx <= 127) & (mn >= -128)
+    else:
+        is4 = is8 = np.zeros(0, dtype=bool)
+    is16 = ~(is4 | is8)
+
+    idx4 = np.nonzero(is4)[0].astype(np.int32)
+    idx8 = np.nonzero(is8)[0].astype(np.int32)
+    idx16 = np.nonzero(is16)[0].astype(np.int32)
+
+    f4 = flat[idx4]
+    if n % 2:
+        f4 = np.concatenate([f4, np.zeros((len(idx4), 1), np.int16)], axis=1)
+    p4 = ((f4[:, 0::2] & 0xF) | ((f4[:, 1::2] & 0xF) << 4)).astype(np.int8)
+    p8 = flat[idx8].astype(np.int8)
+    p16 = flat[idx16]
+
+    if pad_to is not None:
+        n4p, n8p, n16p = pad_to
+        # padding index entries target the scratch slot `nb`
+        idx4 = _pad_rows(idx4, n4p) + np.where(np.arange(n4p) >= len(p4), nb, 0).astype(np.int32)
+        idx8 = _pad_rows(idx8, n8p) + np.where(np.arange(n8p) >= len(p8), nb, 0).astype(np.int32)
+        idx16 = _pad_rows(idx16, n16p) + np.where(np.arange(n16p) >= len(p16), nb, 0).astype(np.int32)
+        p4 = _pad_rows(p4, n4p)
+        p8 = _pad_rows(p8, n8p)
+        p16 = _pad_rows(p16, n16p)
+
+    return PackedBlocks(nb=nb, rows=rows, cols=cols, p4=p4, p8=p8, p16=p16,
+                        idx4=idx4, idx8=idx8, idx16=idx16)
+
+
+def class_counts(k: np.ndarray) -> tuple[int, int, int]:
+    """(n4, n8, n16) without building payloads (for shared pad shapes)."""
+    nb = k.shape[0]
+    if nb == 0:
+        return 0, 0, 0
+    flat = k.reshape(nb, -1)
+    mx = np.max(flat, axis=1)
+    mn = np.min(flat, axis=1)
+    is4 = (mx <= 7) & (mn >= -8)
+    is8 = ~is4 & (mx <= 127) & (mn >= -128)
+    n4 = int(is4.sum())
+    n8 = int(is8.sum())
+    return n4, n8, nb - n4 - n8
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "rows", "cols"))
+def unpack_blocks(
+    p4: jax.Array, p8: jax.Array, p16: jax.Array,
+    idx4: jax.Array, idx8: jax.Array, idx16: jax.Array,
+    *, nb: int, rows: int, cols: int,
+) -> jax.Array:
+    """Device-side inverse of pack_blocks → int16 [nb, rows, cols]."""
+    n = rows * cols
+    # nibbles → int16 with sign extension via arithmetic shifts
+    lo = p4.astype(jnp.int16) << 12 >> 12
+    hi = p4.astype(jnp.int16) >> 4
+    f4 = jnp.stack([lo, hi], axis=-1).reshape(p4.shape[0], 2 * p4.shape[1])[:, :n]
+    out = jnp.zeros((nb + 1, n), jnp.int16)  # slot nb = padding scratch
+    out = out.at[idx4].set(f4)
+    out = out.at[idx8].set(p8.astype(jnp.int16))
+    out = out.at[idx16].set(p16)
+    return out[:nb].reshape(nb, rows, cols)

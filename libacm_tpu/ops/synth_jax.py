@@ -136,6 +136,36 @@ def synth_pcm_batch(
     return jax.vmap(fn)(k, vals, wrap0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("level", "rows", "batch", "nb")
+)
+def synth_pcm_packed(
+    p4: jax.Array, p8: jax.Array, p16: jax.Array,
+    idx4: jax.Array, idx8: jax.Array, idx16: jax.Array,
+    vals: jax.Array,  # [batch, nb]
+    wrap0: jax.Array,  # [batch, 2*cols-2]
+    *,
+    level: int,
+    rows: int,
+    batch: int,
+    nb: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched synth from wire-packed coefficients (see ops.packing).
+
+    The blocks of all files in the batch are packed as one flat
+    [batch*nb] pool; unpacking happens on device so only the packed
+    payloads cross the host↔device link.
+    """
+    from .packing import unpack_blocks
+
+    cols = 1 << level
+    k = unpack_blocks(
+        p4, p8, p16, idx4, idx8, idx16, nb=batch * nb, rows=rows, cols=cols
+    ).reshape(batch, nb, rows, cols)
+    fn = functools.partial(synth_pcm, level=level, rows=rows)
+    return jax.vmap(fn)(k, vals, wrap0)
+
+
 # Padded-shape cache so per-stream decode doesn't recompile for every block
 # count: nb is padded to the next power of two (garbage blocks are synthesized
 # beyond the real ones and sliced off — harmless, the carry chain only ever

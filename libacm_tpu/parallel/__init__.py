@@ -1,5 +1,19 @@
 """Batched / sharded corpus decode (data-parallel over files)."""
 
-from .corpus import FileResult, decode_corpus, effective_stop, make_mesh
+from .corpus import (
+    DeviceCorpus,
+    FileResult,
+    decode_corpus,
+    decode_corpus_device,
+    effective_stop,
+    make_mesh,
+)
 
-__all__ = ["FileResult", "decode_corpus", "effective_stop", "make_mesh"]
+__all__ = [
+    "DeviceCorpus",
+    "FileResult",
+    "decode_corpus",
+    "decode_corpus_device",
+    "effective_stop",
+    "make_mesh",
+]

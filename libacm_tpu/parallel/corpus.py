@@ -6,17 +6,26 @@ thousands of ACM/WAVC files as one data-parallel program. Per SURVEY §2.3,
 files are fully independent, so the parallelization is:
 
   host:   scan every file's serial bitstream into dense coefficient
-          tensors (oracle or C++ scanner), bucket files by (level, rows)
-          — the static shape key — and pad each bucket to
-          [B, nb_max, rows, cols];
-  device: one jitted dispatch per bucket: dequant + filterbank + >>level
-          (ops.synth_jax.synth_pcm_batch), batch axis sharded over a
-          1-D `files` mesh via NamedSharding — XLA partitions the whole
+          tensors (C++ scanner, oracle fallback), bucket files by
+          (level, rows, padded-block-count) — the static shape key —
+          and pad each bucket to [B, nb, rows, cols];
+  device: one jitted dispatch per chunk of files: dequant + filterbank +
+          >>level (ops.synth_jax.synth_pcm_batch), batch axis sharded over
+          a 1-D `files` mesh via NamedSharding — XLA partitions the whole
           program with zero collectives (embarrassingly parallel);
   host:   per-file slice/clamp with the reference's exact stop semantics
           (total_values clamp + channel-multiple clamp, decode.c:848-857)
           and per-file error isolation (a corrupt file yields a status,
           never kills the batch).
+
+Chunked dispatch pipelines the stages: while the device synthesizes chunk
+N, the host scanner (GIL-free C++) is already scanning chunk N+1 and its
+transfer is in flight — JAX's async dispatch gives the overlap for free.
+
+Decoded PCM can stay **device-resident** (`decode_corpus_device`): the
+north-star use of corpus decode is dataset ingest for TPU jobs, where
+copying PCM back to the host would be pure waste. `decode_corpus` fetches
+to host and returns per-file results.
 
 Per-file error/EOF semantics mirror the reference *CLI* consumer
 (`acmtool.c:269-310`): decoding stops at the first failed decode attempt,
@@ -35,18 +44,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import io as acmio
 from ..format import (
     ACM_EXPECTED_EOF,
     ACM_ID,
     ACMInfo,
     AcmError,
-    AcmException,
+    ACMInfo as _ACMInfo,  # noqa: F401  (re-export convenience)
     AcmHeader,
     resolve_channels,
 )
 from ..scan import scan_bytes
-from ..scan.oracle import ScanResult
+from ..scan.oracle import BitReader, parse_header
 
 Source = Union[str, os.PathLike, bytes, bytearray]
 
@@ -71,13 +79,6 @@ class FileResult:
         return self.status == 0
 
 
-def _read_source(src: Source) -> bytes:
-    if isinstance(src, (bytes, bytearray)):
-        return bytes(src)
-    with open(src, "rb") as f:
-        return f.read()
-
-
 def effective_stop(total: int, block_len: int, channels: int, words_avail: int) -> int:
     """Word position where the reference's read loop stops.
 
@@ -99,50 +100,6 @@ def effective_stop(total: int, block_len: int, channels: int, words_avail: int) 
     return pos
 
 
-@dataclasses.dataclass
-class _Scanned:
-    index: int
-    header: AcmHeader
-    scan: ScanResult
-    channels: int
-    n_good: int  # blocks before the first failed decode attempt
-    first_err: int  # 0 or the first error event
-
-
-def _scan_one(index: int, data: bytes, force_chans: int) -> Union[_Scanned, FileResult]:
-    try:
-        scan = scan_bytes(data)
-    except (ValueError, AcmException):
-        return FileResult(index=index, info=None, pcm=None,
-                          status=int(AcmError.ERR_NOT_ACM))
-    h = scan.header
-    # blocks produced before the first failed attempt (CLI stops there)
-    n_good = 0
-    first_err = 0
-    for ev in scan.events:
-        if ev != 0:
-            first_err = int(ev)
-            break
-        n_good += 1
-    return _Scanned(
-        index=index,
-        header=h,
-        scan=scan,
-        channels=resolve_channels(h.channels, h.wavc_file, force_chans),
-        n_good=n_good,
-        first_err=first_err,
-    )
-
-
-def _info_of(s: _Scanned) -> ACMInfo:
-    h = s.header
-    return ACMInfo(
-        channels=s.channels, rate=h.rate, acm_id=ACM_ID, acm_version=1,
-        acm_channels=h.channels, acm_level=h.level, acm_cols=h.cols,
-        acm_rows=h.rows,
-    )
-
-
 def make_mesh(n_devices: int | None = None, axis: str = "files") -> Mesh:
     """1-D device mesh over the `files` (data-parallel) axis."""
     devs = jax.devices()
@@ -155,11 +112,207 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pad_pow2(nb: int) -> int:
-    p = 1
-    while p < nb:
-        p *= 2
-    return p
+def _pad_blocks(nb: int) -> int:
+    """Pad a block count to limit compile variants without pow2 waste."""
+    if nb <= 8:
+        return max(1, nb)
+    if nb <= 32:
+        return _round_up(nb, 8)
+    return _round_up(nb, 32)
+
+
+def _read_source(src: Source) -> bytes:
+    if isinstance(src, (bytes, bytearray)):
+        return bytes(src)
+    with open(src, "rb") as f:
+        return f.read()
+
+
+@dataclasses.dataclass
+class _FileEntry:
+    index: int
+    data: bytes
+    header: AcmHeader
+    channels: int
+    # filled at scan time:
+    n_good: int = 0
+    first_err: int = 0
+
+
+@dataclasses.dataclass
+class _BucketOut:
+    """Device-side output of one bucket (all same (level, rows, nb))."""
+
+    level: int
+    rows: int
+    entries: list[_FileEntry]
+    pcm: jax.Array  # int16 [B, nb, rows*cols] (padded files/blocks included)
+
+
+class DeviceCorpus:
+    """Decoded corpus with PCM left on device (for TPU-side consumers)."""
+
+    def __init__(self, n_files: int):
+        self._n = n_files
+        self._buckets: list[_BucketOut] = []
+        self._failed: dict[int, FileResult] = {}
+
+    # -- construction (internal) -------------------------------------------
+
+    def _add_failed(self, r: FileResult) -> None:
+        self._failed[r.index] = r
+
+    def _add_bucket(self, b: _BucketOut) -> None:
+        self._buckets.append(b)
+
+    # -- consumption ---------------------------------------------------------
+
+    def block_until_ready(self) -> "DeviceCorpus":
+        for b in self._buckets:
+            b.pcm.block_until_ready()
+        return self
+
+    def checksum(self) -> int:
+        """Device-side reduction over all decoded PCM (forces
+        materialization; fetches only scalars)."""
+        total = 0
+        for b in self._buckets:
+            total += int(jnp.sum(b.pcm.astype(jnp.int32), dtype=jnp.int32))
+        return total & 0xFFFFFFFF
+
+    def device_arrays(self) -> list[tuple[list[int], jax.Array]]:
+        """[(file_indices, int16 pcm [B, nb, block_len])] per bucket."""
+        return [([e.index for e in b.entries], b.pcm) for b in self._buckets]
+
+    def to_results(self) -> list[FileResult]:
+        """Fetch PCM to host and apply per-file reference stop semantics."""
+        results: list[FileResult | None] = [None] * self._n
+        for i, r in self._failed.items():
+            results[i] = r
+        for b in self._buckets:
+            block_len = b.rows << b.level
+            host = np.asarray(jax.device_get(b.pcm))
+            for j, e in enumerate(b.entries):
+                results[e.index] = _finalize(e, host[j].reshape(-1), block_len)
+        return results  # type: ignore[return-value]
+
+
+def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:
+    h = e.header
+    words_avail = e.n_good * block_len
+    stop = effective_stop(h.total_values, block_len, e.channels, words_avail)
+    want = h.total_values - (h.total_values % e.channels if e.channels > 1 else 0)
+    status = 0
+    if e.first_err not in (0, ACM_EXPECTED_EOF):
+        status = e.first_err
+    info = ACMInfo(
+        channels=e.channels, rate=h.rate, acm_id=ACM_ID, acm_version=1,
+        acm_channels=h.channels, acm_level=h.level, acm_cols=h.cols,
+        acm_rows=h.rows,
+    )
+    return FileResult(
+        index=e.index, info=info, pcm=pcm_flat[:stop], status=status,
+        filler_words=max(0, want - stop),
+    )
+
+
+def decode_corpus_device(
+    sources: Sequence[Source],
+    *,
+    force_chans: int = 0,
+    mesh: Mesh | None = None,
+    backend: str = "jax",
+    chunk_files: int = 16,
+    pack: bool = True,
+) -> DeviceCorpus:
+    """Decode a corpus; leave PCM on device (see DeviceCorpus).
+
+    Buckets files by (level, rows, padded block capacity), then per chunk of
+    `chunk_files` files: host-scan, async-transfer, async-dispatch synthesis
+    — successive chunks pipeline host scan against device work.
+    """
+    out = DeviceCorpus(len(sources))
+
+    # 1. cheap header pass → buckets keyed by static shape
+    buckets: dict[tuple[int, int, int], list[_FileEntry]] = {}
+    for i, src in enumerate(sources):
+        data = _read_source(src)
+        header = parse_header(BitReader(data))
+        if header is None:
+            out._add_failed(FileResult(index=i, info=None, pcm=None,
+                                       status=int(AcmError.ERR_NOT_ACM)))
+            continue
+        e = _FileEntry(
+            index=i, data=data, header=header,
+            channels=resolve_channels(header.channels, header.wavc_file,
+                                      force_chans),
+        )
+        key = (header.level, header.rows, _pad_blocks(header.n_blocks))
+        buckets.setdefault(key, []).append(e)
+
+    if backend == "pallas":
+        from ..ops.synth_pallas import synth_pcm_pallas as synth_fn
+    else:
+        from ..ops.synth_jax import synth_pcm_batch as synth_fn
+
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+
+    # 2. per bucket, chunked scan → transfer → dispatch (all async)
+    for (level, rows, nb), entries in buckets.items():
+        cols = 1 << level
+        wlen = 2 * cols - 2
+        step = len(entries) if mesh is not None else max(1, chunk_files)
+        for lo in range(0, len(entries), step):
+            chunk = entries[lo : lo + step]
+            b = _round_up(len(chunk), n_shards)
+            k = np.zeros((b, nb, rows, cols), dtype=np.int16)
+            vals = np.zeros((b, nb), dtype=np.int32)
+            for j, e in enumerate(chunk):
+                scan = scan_bytes(e.data)
+                ng = 0
+                for ev in scan.events:
+                    if ev != 0:
+                        e.first_err = int(ev)
+                        break
+                    ng += 1
+                e.n_good = ng
+                if ng:
+                    k[j, :ng] = scan.k[:ng]
+                    vals[j, :ng] = scan.val[:ng].astype(np.int32)
+            wrap0 = np.zeros((b, wlen), dtype=np.int32)
+
+            if mesh is None and backend == "jax" and pack:
+                # pack coefficients for the wire; unpack happens on device
+                # (class counts padded to multiples of 64 blocks to bound
+                # the number of compiled shapes)
+                from ..ops.packing import class_counts, pack_blocks
+                from ..ops.synth_jax import synth_pcm_packed
+
+                kflat = k.reshape(b * nb, rows, cols)
+                pads = tuple(_round_up(c, 64) for c in class_counts(kflat))
+                pk = pack_blocks(kflat, pad_to=pads)
+                pcm, _ = synth_pcm_packed(
+                    jnp.asarray(pk.p4), jnp.asarray(pk.p8), jnp.asarray(pk.p16),
+                    jnp.asarray(pk.idx4), jnp.asarray(pk.idx8),
+                    jnp.asarray(pk.idx16),
+                    jnp.asarray(vals), jnp.asarray(wrap0),
+                    level=level, rows=rows, batch=b, nb=nb,
+                )
+            else:
+                args = (jnp.asarray(k), jnp.asarray(vals), jnp.asarray(wrap0))
+                if mesh is not None:
+                    shardings = (
+                        NamedSharding(mesh, P("files", None, None, None)),
+                        NamedSharding(mesh, P("files", None)),
+                        NamedSharding(mesh, P("files", None)),
+                    )
+                    args = tuple(
+                        jax.device_put(a, s) for a, s in zip(args, shardings)
+                    )
+                pcm, _ = synth_fn(*args, level=level, rows=rows)
+            out._add_bucket(_BucketOut(level=level, rows=rows, entries=chunk,
+                                       pcm=pcm))
+    return out
 
 
 def decode_corpus(
@@ -168,74 +321,11 @@ def decode_corpus(
     force_chans: int = 0,
     mesh: Mesh | None = None,
     backend: str = "jax",
-    scan_backend: str | None = None,
+    chunk_files: int = 16,
+    pack: bool = True,
 ) -> list[FileResult]:
-    """Decode a corpus of ACM/WAVC files in batched device dispatches.
-
-    Files are bucketed by (level, rows) — the static shape key — padded on
-    the block axis, synthesized as [B, nb, rows, cols] with one jitted
-    (and, under a mesh, sharded) dispatch per bucket, then sliced back to
-    per-file PCM with reference-exact stop semantics.
-    """
-    del scan_backend  # reserved: oracle vs C++ scanner (scan module decides)
-    results: list[FileResult | None] = [None] * len(sources)
-    buckets: dict[tuple[int, int], list[_Scanned]] = {}
-    for i, src in enumerate(sources):
-        item = _scan_one(i, _read_source(src), force_chans)
-        if isinstance(item, FileResult):
-            results[i] = item
-        else:
-            buckets.setdefault((item.header.level, item.header.rows), []).append(item)
-
-    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-
-    for (level, rows), items in buckets.items():
-        cols = 1 << level
-        block_len = rows * cols
-        wlen = 2 * cols - 2
-        nb_max = max(1, _pad_pow2(max(s.n_good for s in items)))
-        b = _round_up(len(items), n_shards)
-
-        k = np.zeros((b, nb_max, rows, cols), dtype=np.int16)
-        vals = np.zeros((b, nb_max), dtype=np.int32)
-        for j, s in enumerate(items):
-            ng = s.n_good
-            if ng:
-                k[j, :ng] = s.scan.k[:ng]
-                vals[j, :ng] = s.scan.val[:ng].astype(np.int32)
-        wrap0 = np.zeros((b, wlen), dtype=np.int32)
-
-        args = (jnp.asarray(k), jnp.asarray(vals), jnp.asarray(wrap0))
-        if mesh is not None:
-            shardings = (
-                NamedSharding(mesh, P("files", None, None, None)),
-                NamedSharding(mesh, P("files", None)),
-                NamedSharding(mesh, P("files", None)),
-            )
-            args = tuple(jax.device_put(a, sh) for a, sh in zip(args, shardings))
-
-        if backend == "pallas":
-            from ..ops.synth_pallas import synth_pcm_pallas as synth_fn
-        else:
-            from ..ops.synth_jax import synth_pcm_batch as synth_fn
-        pcm_b, _ = synth_fn(*args, level=level, rows=rows)
-        pcm_b = np.asarray(jax.device_get(pcm_b))  # [b, nb_max, block_len]
-
-        for j, s in enumerate(items):
-            h = s.header
-            words_avail = s.n_good * block_len
-            stop = effective_stop(h.total_values, block_len, s.channels, words_avail)
-            pcm = pcm_b[j].reshape(-1)[:stop]
-            want = h.total_values - (h.total_values % s.channels if s.channels > 1 else 0)
-            status = 0
-            if s.first_err not in (0, ACM_EXPECTED_EOF):
-                status = s.first_err
-            results[s.index] = FileResult(
-                index=s.index,
-                info=_info_of(s),
-                pcm=pcm,
-                status=status,
-                filler_words=max(0, want - stop),
-            )
-
-    return results  # type: ignore[return-value]
+    """Decode a corpus of ACM/WAVC files; fetch PCM to host per file."""
+    return decode_corpus_device(
+        sources, force_chans=force_chans, mesh=mesh, backend=backend,
+        chunk_files=chunk_files, pack=pack,
+    ).to_results()

@@ -29,10 +29,16 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-N_FILES = 32
-LEVEL, ROWS, NBLOCKS = 7, 16, 160  # 128 cols, 2048-word blocks
+# Corpus: audio-realistic content mirroring BASELINE.json's configs —
+# mostly 22 kHz mono Fallout-style speech (sparse high bands) plus denser
+# 44.1 kHz stereo Baldur's-Gate-style music. Level 7 / rows 16 = the classic
+# 2048-word block geometry.
+N_SPEECH, N_MUSIC = 64, 16
+LEVEL, ROWS, NBLOCKS = 7, 16, 300
 RATE = 22050
-CORPUS_DIR = pathlib.Path(f"/tmp/libacm_tpu_bench_v1_{N_FILES}x{NBLOCKS}")
+CORPUS_DIR = pathlib.Path(
+    f"/tmp/libacm_tpu_bench_v2_{N_SPEECH}+{N_MUSIC}x{NBLOCKS}"
+)
 REF_SRC = pathlib.Path("/root/reference/src")
 REF_BIN = pathlib.Path("/tmp/refbuild/src/acmtool")
 
@@ -42,21 +48,28 @@ def log(*a):
 
 
 def ensure_corpus() -> list[pathlib.Path]:
-    files = [CORPUS_DIR / f"bench_{i:03d}.acm" for i in range(N_FILES)]
+    files = [CORPUS_DIR / f"speech_{i:03d}.acm" for i in range(N_SPEECH)]
+    files += [CORPUS_DIR / f"music_{i:03d}.acm" for i in range(N_MUSIC)]
     if all(f.exists() for f in files):
         return files
     from libacm_tpu import testing
 
+    log(f"synthesizing corpus into {CORPUS_DIR} (one-time)...")
     CORPUS_DIR.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(2026)
     for f in files:
-        if not f.exists():
-            f.write_bytes(
-                testing.random_acm_bytes(
-                    rng, level=LEVEL, rows=ROWS, n_blocks=NBLOCKS,
-                    channels=1, rate=RATE,
-                )
+        if f.exists():
+            continue
+        music = f.name.startswith("music")
+        f.write_bytes(
+            testing.speech_acm_bytes(
+                rng, level=LEVEL, rows=ROWS, n_blocks=NBLOCKS,
+                channels=2 if music else 1,
+                rate=44100 if music else RATE,
+                base_pwr=8 if music else 6,
+                decay_cols=24.0 if music else 8.0,
             )
+        )
     return files
 
 
@@ -131,9 +144,12 @@ def time_framework(files: list[pathlib.Path], total_samples: int) -> tuple[float
 
 def main() -> int:
     files = ensure_corpus()
-    total_samples = N_FILES * NBLOCKS * ROWS * (1 << LEVEL)
-    log(f"corpus: {N_FILES} files x {NBLOCKS} blocks "
-        f"(level {LEVEL}, rows {ROWS}) = {total_samples/1e6:.1f} Msamples")
+    n_files = N_SPEECH + N_MUSIC
+    total_samples = n_files * NBLOCKS * ROWS * (1 << LEVEL)
+    wire = sum(f.stat().st_size for f in files)
+    log(f"corpus: {n_files} files x {NBLOCKS} blocks (level {LEVEL}, "
+        f"rows {ROWS}) = {total_samples/1e6:.1f} Msamples, "
+        f"{wire*8/total_samples:.2f} bits/sample on disk")
 
     ref = ensure_reference()
     if ref is not None:

@@ -117,6 +117,45 @@ def class_counts(k: np.ndarray) -> tuple[int, int, int]:
     return n4, n8, nb - n4 - n8
 
 
+def _nibbles_to_i16(p4: jax.Array, rows: int) -> jax.Array:
+    """int8 nibble stream [n, ceil(rows/2)] → int16 [n, rows] (sign-ext)."""
+    lo = p4.astype(jnp.int16) << 12 >> 12
+    hi = p4.astype(jnp.int16) >> 4
+    full = jnp.stack([lo, hi], axis=-1).reshape(p4.shape[0], 2 * p4.shape[1])
+    return full[:, :rows]
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def unpack_columns(
+    cls_flat: jax.Array,  # uint8 [N] class codes in scan order
+    pay4: jax.Array,  # int8 [n4, ceil(rows/2)]
+    pay8: jax.Array,  # int8 [n8, rows]
+    pay16: jax.Array,  # int16 [n16, rows]
+    *,
+    rows: int,
+) -> jax.Array:
+    """Per-column wire format → int16 [N, rows] columns.
+
+    Positions within each class payload are recovered on device with a
+    cumulative count over the class mask (the payloads are column-contiguous
+    in the same scan order as `cls_flat`).
+    """
+    n = cls_flat.shape[0]
+    k = jnp.zeros((n, rows), jnp.int16)
+    for code, pay, expand in (
+        (1, pay4, lambda p: _nibbles_to_i16(p, rows)),
+        (2, pay8, lambda p: p.astype(jnp.int16)),
+        (3, pay16, lambda p: p),
+    ):
+        if pay.shape[0] == 0:
+            continue
+        m = cls_flat == code
+        pos = jnp.clip(jnp.cumsum(m.astype(jnp.int32)) - 1, 0, pay.shape[0] - 1)
+        vals = jnp.take(expand(pay), pos, axis=0)
+        k = jnp.where(m[:, None], vals, k)
+    return k
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "rows", "cols"))
 def unpack_blocks(
     p4: jax.Array, p8: jax.Array, p16: jax.Array,

@@ -166,6 +166,38 @@ def synth_pcm_packed(
     return jax.vmap(fn)(k, vals, wrap0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("level", "rows", "batch", "nb")
+)
+def synth_pcm_cols(
+    cls: jax.Array,  # uint8 [batch, nb, cols] per-column class codes
+    pay4: jax.Array, pay8: jax.Array, pay16: jax.Array,
+    vals: jax.Array,  # [batch, nb]
+    wrap0: jax.Array,  # [batch, 2*cols-2]
+    *,
+    level: int,
+    rows: int,
+    batch: int,
+    nb: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched synth from the per-column wire format (scanner packed mode).
+
+    The C++ scanner emits column payloads classified {zero,4,8,16}-bit by
+    observed range; only those payloads plus a 1-byte/column class map
+    cross the host↔device link. Unpack (cumsum + gather) and synthesis fuse
+    into one device program.
+    """
+    from .packing import unpack_columns
+
+    cols = 1 << level
+    k_cols = unpack_columns(
+        cls.reshape(batch * nb * cols), pay4, pay8, pay16, rows=rows
+    )  # [batch*nb*cols, rows]
+    k = k_cols.reshape(batch, nb, cols, rows).transpose(0, 1, 3, 2)
+    fn = functools.partial(synth_pcm, level=level, rows=rows)
+    return jax.vmap(fn)(k, vals, wrap0)
+
+
 # Padded-shape cache so per-stream decode doesn't recompile for every block
 # count: nb is padded to the next power of two (garbage blocks are synthesized
 # beyond the real ones and sliced off — harmless, the carry chain only ever

@@ -216,6 +216,69 @@ def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult
     )
 
 
+def _n_good(events: np.ndarray) -> tuple[int, int]:
+    """(blocks before first failed attempt, first error or 0)."""
+    ng = 0
+    for ev in events:
+        if ev != 0:
+            return ng, int(ev)
+        ng += 1
+    return ng, 0
+
+
+def _dispatch_cols_wire(
+    chunk: list[_FileEntry], level: int, rows: int, nb: int
+) -> _BucketOut:
+    """Scan a chunk with the native packed scanner and dispatch synthesis
+    from the per-column wire format (see ops.synth_jax.synth_pcm_cols)."""
+    from ..ops.synth_jax import synth_pcm_cols
+    from ..scan import native as _native
+
+    cols = 1 << level
+    half = (rows + 1) // 2
+    b = len(chunk)
+    cls = np.zeros((b, nb, cols), dtype=np.uint8)
+    vals = np.zeros((b, nb), dtype=np.int32)
+    p4s, p8s, p16s = [], [], []
+    for j, e in enumerate(chunk):
+        ps = _native.scan_bytes_packed(e.data)
+        ng, err = _n_good(ps.events)
+        e.n_good, e.first_err = ng, err
+        if ng:
+            cls[j, :ng] = ps.cls[:ng]
+            vals[j, :ng] = ps.val[:ng].astype(np.int32)
+            # payload rows are column-contiguous in block order, so the
+            # first sum(cls[:ng]==c) rows belong to the good blocks
+            head = ps.cls[:ng]
+            p4s.append(ps.pay4[: int((head == 1).sum())])
+            p8s.append(ps.pay8[: int((head == 2).sum())])
+            p16s.append(ps.pay16[: int((head == 3).sum())])
+
+    def cat(parts: list[np.ndarray], width: int, dtype) -> np.ndarray:
+        if parts:
+            a = np.concatenate(parts, axis=0)
+        else:
+            a = np.zeros((0, width), dtype=dtype)
+        padded = _round_up(max(a.shape[0], 0), 4096) if a.shape[0] else 0
+        if padded != a.shape[0]:
+            a = np.concatenate(
+                [a, np.zeros((padded - a.shape[0], width), dtype=a.dtype)]
+            )
+        return a
+
+    pay4 = cat(p4s, half, np.int8)
+    pay8 = cat(p8s, rows, np.int8)
+    pay16 = cat(p16s, rows, np.int16)
+    wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
+
+    pcm, _ = synth_pcm_cols(
+        jnp.asarray(cls), jnp.asarray(pay4), jnp.asarray(pay8),
+        jnp.asarray(pay16), jnp.asarray(vals), jnp.asarray(wrap0),
+        level=level, rows=rows, batch=b, nb=nb,
+    )
+    return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
+
+
 def decode_corpus_device(
     sources: Sequence[Source],
     *,
@@ -257,6 +320,12 @@ def decode_corpus_device(
 
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
 
+    use_cols_wire = mesh is None and backend == "jax" and pack
+    if use_cols_wire:
+        from ..scan import native as _native
+
+        use_cols_wire = _native.available()
+
     # 2. per bucket, chunked scan → transfer → dispatch (all async)
     for (level, rows, nb), entries in buckets.items():
         cols = 1 << level
@@ -264,6 +333,9 @@ def decode_corpus_device(
         step = len(entries) if mesh is not None else max(1, chunk_files)
         for lo in range(0, len(entries), step):
             chunk = entries[lo : lo + step]
+            if use_cols_wire:
+                out._add_bucket(_dispatch_cols_wire(chunk, level, rows, nb))
+                continue
             b = _round_up(len(chunk), n_shards)
             k = np.zeros((b, nb, rows, cols), dtype=np.int16)
             vals = np.zeros((b, nb), dtype=np.int32)

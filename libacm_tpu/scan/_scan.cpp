@@ -8,6 +8,12 @@
 // bit-for-bit by the Python oracle (libacm_tpu/scan/oracle.py) — the two
 // backends are differential-fuzzed against each other.
 //
+// Two output modes share one scan driver:
+//   - dense:  k[int16, nb*rows*cols] coefficient tensors (streaming path);
+//   - packed: per-column width classes {zero,4,8,16 bits} + packed payload
+//     streams, the wire format the corpus layer ships to the TPU (columns
+//     are classified by observed range; unpacking happens on device).
+//
 // Semantics contract (same as the oracle, keep in sync):
 //   - bits are LSB-first from a little-endian byte stream;
 //   - the effective stream is the file plus ONE phantom zero byte;
@@ -86,9 +92,9 @@ constexpr int16_t MAP_2BIT_NEAR[4] = {-2, -1, +1, +2};
 constexpr int16_t MAP_2BIT_FAR[4] = {-3, -2, +2, +3};
 constexpr int16_t MAP_3BIT[8] = {-4, -3, -2, -1, +1, +2, +3, +4};
 
-// Per-column filler decode. `col` points at k[0, c] with stride `stride`
-// (= cols). Returns 0 ok, ERR_CORRUPT, or ERR_UNEXPECTED_EOF (on b.fail).
-int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
+// Decode one column into the contiguous zeroed buffer `col[rows]`.
+// Returns 0 ok, ERR_CORRUPT, or ERR_UNEXPECTED_EOF (on b.fail).
+int decode_column(BitReader& b, int ind, int rows, int16_t* col) {
   auto chk = [&]() { return b.fail; };
   if (ind == 0) return 0;  // f_zero: column stays zero
   if (ind >= 3 && ind <= 16) {  // f_linear
@@ -96,7 +102,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
     for (int i = 0; i < rows; i++) {
       uint32_t v = b.get(ind);
       if (chk()) return ERR_UNEXPECTED_EOF;
-      col[i * stride] = static_cast<int16_t>(static_cast<int>(v) - middle);
+      col[i] = static_cast<int16_t>(static_cast<int>(v) - middle);
     }
     return 0;
   }
@@ -109,7 +115,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (chk()) return ERR_UNEXPECTED_EOF;
         uint32_t x = b.get(1);
         if (chk()) return ERR_UNEXPECTED_EOF;
-        col[i * stride] = MAP_1BIT[x];
+        col[i] = MAP_1BIT[x];
         i += 1;
       }
       return 0;
@@ -121,7 +127,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (h) {
           uint32_t x = b.get(1);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_1BIT[x];
+          col[i] = MAP_1BIT[x];
         }
       }
       return 0;
@@ -134,7 +140,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
                         static_cast<int16_t>((v / 3) % 3 - 1),
                         static_cast<int16_t>(v / 9 - 1)};
-        for (int j = 0; j < 3 && i < rows; j++, i++) col[i * stride] = t[j];
+        for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
       }
       return 0;
     }
@@ -146,7 +152,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (chk()) return ERR_UNEXPECTED_EOF;
         uint32_t x = b.get(2);
         if (chk()) return ERR_UNEXPECTED_EOF;
-        col[i * stride] = MAP_2BIT_NEAR[x];
+        col[i] = MAP_2BIT_NEAR[x];
         i += 1;
       }
       return 0;
@@ -158,7 +164,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (h) {
           uint32_t x = b.get(2);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_2BIT_NEAR[x];
+          col[i] = MAP_2BIT_NEAR[x];
         }
       }
       return 0;
@@ -171,7 +177,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
                         static_cast<int16_t>((v / 5) % 5 - 2),
                         static_cast<int16_t>(v / 25 - 2)};
-        for (int j = 0; j < 3 && i < rows; j++, i++) col[i * stride] = t[j];
+        for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
       }
       return 0;
     }
@@ -185,12 +191,12 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
           if (chk()) return ERR_UNEXPECTED_EOF;
           uint32_t x = b.get(1);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_1BIT[x];
+          col[i] = MAP_1BIT[x];
         } else {
           if (chk()) return ERR_UNEXPECTED_EOF;
           uint32_t x = b.get(2);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_2BIT_FAR[x];
+          col[i] = MAP_2BIT_FAR[x];
         }
         i += 1;
       }
@@ -204,12 +210,12 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
           if (chk()) return ERR_UNEXPECTED_EOF;
           uint32_t x = b.get(1);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_1BIT[x];
+          col[i] = MAP_1BIT[x];
         } else {
           if (chk()) return ERR_UNEXPECTED_EOF;
           uint32_t x = b.get(2);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_2BIT_FAR[x];
+          col[i] = MAP_2BIT_FAR[x];
         }
       }
       return 0;
@@ -222,7 +228,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (chk()) return ERR_UNEXPECTED_EOF;
         uint32_t x = b.get(3);
         if (chk()) return ERR_UNEXPECTED_EOF;
-        col[i * stride] = MAP_3BIT[x];
+        col[i] = MAP_3BIT[x];
         i += 1;
       }
       return 0;
@@ -234,7 +240,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (h) {
           uint32_t x = b.get(3);
           if (chk()) return ERR_UNEXPECTED_EOF;
-          col[i * stride] = MAP_3BIT[x];
+          col[i] = MAP_3BIT[x];
         }
       }
       return 0;
@@ -246,7 +252,7 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
         if (v >= 121) return ERR_CORRUPT;
         int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
                         static_cast<int16_t>(v / 11 - 5)};
-        for (int j = 0; j < 2 && i < rows; j++, i++) col[i * stride] = t[j];
+        for (int j = 0; j < 2 && i < rows; j++, i++) col[i] = t[j];
       }
       return 0;
     }
@@ -255,25 +261,17 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col, int stride) {
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Scan `max_blocks` decode attempts starting after `skip_bits` header bits.
-// Outputs sized by the caller: k [max_blocks*rows*cols] (zeroed here),
-// pwr [max_blocks], val [max_blocks], events/tell [max_events].
-// meta out: [0]=n_blocks, [1]=n_events, [2]=status (0 or -99),
-//           [3]=raw_tell_end, [4]=raw_tell0 (loaded bytes after header).
-// Returns 0, or -1 if max_events was hit (allocate more; should not happen
-// with the documented bound of one event per 20 payload bits).
-int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
-                        int64_t skip_bits, int32_t level, int32_t rows,
-                        int64_t max_blocks, int64_t max_events,
-                        int16_t* k_out, uint8_t* pwr_out, uint16_t* val_out,
-                        int16_t* events_out, int64_t* tell_out,
-                        int64_t* meta) {
-  const int cols = 1 << level;
-  const int64_t block_elems = static_cast<int64_t>(rows) * cols;
+// Shared scan driver, parameterized by an emitter:
+//   void begin_block();                 -- checkpoint (for rollback)
+//   void emit_column(int c, const int16_t* col);
+//   void commit_block(uint32_t pwr, uint32_t val);
+//   void rollback_block();
+template <typename Emitter>
+int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
+                    int32_t /*level*/, int32_t rows, int32_t cols,
+                    int64_t max_blocks, int64_t max_events,
+                    int16_t* events_out, int64_t* tell_out, int64_t* meta,
+                    int16_t* col_tmp, Emitter& em) {
   BitReader b(data, nbytes);
   // replay the header reads (any split into <=31-bit gets leaves the
   // reservoir in the same state; positions drive reload phases)
@@ -297,8 +295,7 @@ int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
       meta[3] = b.loaded_bytes();
       return -1;
     }
-    int16_t* k_block = k_out + n_blocks * block_elems;
-    std::memset(k_block, 0, block_elems * sizeof(int16_t));
+    em.begin_block();
     int outcome = 0;
     bool clean_eof = false;
     for (int c = 0; c < cols; c++) {
@@ -307,11 +304,13 @@ int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
         clean_eof = true;  // EOF at a column code is a clean stream end
         break;
       }
-      outcome = decode_column(b, static_cast<int>(ind), rows, k_block + c,
-                              cols);
+      std::memset(col_tmp, 0, rows * sizeof(int16_t));
+      outcome = decode_column(b, static_cast<int>(ind), rows, col_tmp);
       if (outcome != 0) break;
+      em.emit_column(c, col_tmp);
     }
     if (clean_eof) {
+      em.rollback_block();
       status = EXPECTED_EOF;
       break;
     }
@@ -320,9 +319,10 @@ int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
     tell_out[n_events] = b.loaded_bytes();
     n_events++;
     if (outcome == 0) {
-      pwr_out[n_blocks] = static_cast<uint8_t>(pwr);
-      val_out[n_blocks] = static_cast<uint16_t>(val);
+      em.commit_block(pwr, val);
       n_blocks++;
+    } else {
+      em.rollback_block();
     }
   }
   meta[0] = n_blocks;
@@ -330,6 +330,135 @@ int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
   meta[2] = status;
   meta[3] = b.loaded_bytes();
   return 0;
+}
+
+struct DenseEmitter {
+  int16_t* k_out;
+  uint8_t* pwr_out;
+  uint16_t* val_out;
+  int rows, cols;
+  int64_t block_elems;
+  int64_t nb = 0;
+
+  void begin_block() {
+    std::memset(k_out + nb * block_elems, 0, block_elems * sizeof(int16_t));
+  }
+  void emit_column(int c, const int16_t* col) {
+    int16_t* base = k_out + nb * block_elems + c;
+    for (int i = 0; i < rows; i++) base[static_cast<int64_t>(i) * cols] = col[i];
+  }
+  void commit_block(uint32_t pwr, uint32_t val) {
+    pwr_out[nb] = static_cast<uint8_t>(pwr);
+    val_out[nb] = static_cast<uint16_t>(val);
+    nb++;
+  }
+  void rollback_block() {}
+};
+
+// Packed wire format: per column a class code {0:zero, 1:4-bit, 2:8-bit,
+// 3:16-bit} chosen from the observed range; payloads are column-contiguous
+// (4-bit: two rows per byte, odd row padded with a zero nibble).
+struct PackedEmitter {
+  uint8_t* cls_out;      // [max_blocks * cols]
+  int8_t* pay4;          // nibble stream, ceil(rows/2) bytes per column
+  int8_t* pay8;          // rows bytes per column
+  int16_t* pay16;        // rows int16 per column
+  uint8_t* pwr_out;
+  uint16_t* val_out;
+  int rows, cols;
+  int64_t nb = 0;
+  int64_t n4 = 0, n8 = 0, n16 = 0;       // columns per class
+  int64_t s4 = 0, s8 = 0, s16 = 0;       // block-start snapshots
+
+  void begin_block() {
+    s4 = n4; s8 = n8; s16 = n16;
+  }
+  void emit_column(int c, const int16_t* col) {
+    int16_t mn = 0, mx = 0;
+    for (int i = 0; i < rows; i++) {
+      mn = std::min(mn, col[i]);
+      mx = std::max(mx, col[i]);
+    }
+    uint8_t code;
+    if (mn == 0 && mx == 0) {
+      code = 0;
+    } else if (mn >= -8 && mx <= 7) {
+      code = 1;
+      int8_t* dst = pay4 + n4 * ((rows + 1) / 2);
+      for (int i = 0; i < rows; i += 2) {
+        int lo = col[i] & 0xF;
+        int hi = (i + 1 < rows ? col[i + 1] : 0) & 0xF;
+        dst[i / 2] = static_cast<int8_t>(lo | (hi << 4));
+      }
+      n4++;
+    } else if (mn >= -128 && mx <= 127) {
+      code = 2;
+      int8_t* dst = pay8 + n8 * rows;
+      for (int i = 0; i < rows; i++) dst[i] = static_cast<int8_t>(col[i]);
+      n8++;
+    } else {
+      code = 3;
+      std::memcpy(pay16 + n16 * rows, col, rows * sizeof(int16_t));
+      n16++;
+    }
+    cls_out[nb * cols + c] = code;
+  }
+  void commit_block(uint32_t pwr, uint32_t val) {
+    pwr_out[nb] = static_cast<uint8_t>(pwr);
+    val_out[nb] = static_cast<uint16_t>(val);
+    nb++;
+  }
+  void rollback_block() {
+    n4 = s4; n8 = s8; n16 = s16;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Dense scan (streaming path). Outputs sized by the caller:
+// k [max_blocks*rows*cols] (zeroed here), pwr/val [max_blocks],
+// events/tell [max_events]. col_tmp: caller scratch [rows].
+// meta out: [0]=n_blocks, [1]=n_events, [2]=status (0 or -99),
+//           [3]=raw_tell_end, [4]=raw_tell0 (loaded bytes after header).
+// Returns 0, or -1 if max_events was hit (cannot happen with the
+// documented bound of one event per 20 payload bits).
+int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
+                        int64_t skip_bits, int32_t level, int32_t rows,
+                        int64_t max_blocks, int64_t max_events,
+                        int16_t* k_out, uint8_t* pwr_out, uint16_t* val_out,
+                        int16_t* events_out, int64_t* tell_out,
+                        int16_t* col_tmp, int64_t* meta) {
+  const int cols = 1 << level;
+  DenseEmitter em{k_out, pwr_out, val_out, rows, cols,
+                  static_cast<int64_t>(rows) * cols};
+  return scan_driver(data, nbytes, skip_bits, level, rows, cols, max_blocks,
+                     max_events, events_out, tell_out, meta, col_tmp, em);
+}
+
+// Packed scan (corpus wire path). cls [max_blocks*cols] is NOT pre-zeroed
+// for uncommitted blocks — callers use meta[0] blocks only. Payload
+// capacities: pay4 >= max_blocks*cols*ceil(rows/2), pay8 >=
+// max_blocks*cols*rows, pay16 >= max_blocks*cols*rows (int16).
+// meta: [0..4] as dense, [5]=n4 cols, [6]=n8, [7]=n16.
+int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
+                               int64_t skip_bits, int32_t level, int32_t rows,
+                               int64_t max_blocks, int64_t max_events,
+                               uint8_t* cls_out, int8_t* pay4, int8_t* pay8,
+                               int16_t* pay16, uint8_t* pwr_out,
+                               uint16_t* val_out, int16_t* events_out,
+                               int64_t* tell_out, int16_t* col_tmp,
+                               int64_t* meta) {
+  const int cols = 1 << level;
+  PackedEmitter em{cls_out, pay4, pay8, pay16, pwr_out, val_out, rows, cols};
+  int64_t rc = scan_driver(data, nbytes, skip_bits, level, rows, cols,
+                           max_blocks, max_events, events_out, tell_out, meta,
+                           col_tmp, em);
+  meta[5] = em.n4;
+  meta[6] = em.n8;
+  meta[7] = em.n16;
+  return rc;
 }
 
 }  // extern "C"

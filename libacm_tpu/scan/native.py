@@ -9,6 +9,7 @@ package, and exposes `scan_bytes` with semantics identical to
 from __future__ import annotations
 
 import ctypes
+import dataclasses
 import hashlib
 import os
 import pathlib
@@ -17,7 +18,7 @@ import tempfile
 
 import numpy as np
 
-from ..format import ACM_HEADER_LEN, WAVC_HEADER_LEN
+from ..format import ACM_HEADER_LEN, WAVC_HEADER_LEN, AcmHeader
 from . import oracle
 from .oracle import BitReader, ScanResult, parse_header
 
@@ -71,7 +72,21 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,  # max_blocks, max_events
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int16),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    fp = lib.acm_scan_blocks_packed
+    fp.restype = ctypes.c_int64
+    fp.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),  # cls
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int16),  # pay4, pay8, pay16
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return _lib
@@ -85,43 +100,48 @@ def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
-    """Header parse (Python) + native block scan. Same result as the oracle."""
+def _prep(data: bytes, max_blocks: int | None):
     lib = _load()
     if lib is None:
         raise RuntimeError("native scanner not available")
-
     header = parse_header(BitReader(data))
     if header is None:
         raise ValueError("not an ACM stream")
     if max_blocks is None:
         max_blocks = header.n_blocks
-    rows, cols = header.rows, header.cols
     skip_bits = 8 * (ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0))
-
     # every recorded event consumes >= 20 payload bits (pwr+val), so this
     # bound cannot be hit; +4 covers reservoir-tail attempts
     max_events = (8 * (len(data) + 1)) // 20 + 4
+    return lib, header, max_blocks, skip_bits, max_events
+
+
+def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
+    """Header parse (Python) + native block scan. Same result as the oracle."""
+    lib, header, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
+    rows, cols = header.rows, header.cols
 
     k = np.zeros((max_blocks, rows, cols), dtype=np.int16)
     pwr = np.zeros(max_blocks, dtype=np.uint8)
     val = np.zeros(max_blocks, dtype=np.uint16)
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
-    meta = np.zeros(5, dtype=np.int64)
+    col_tmp = np.zeros(rows, dtype=np.int16)
+    meta = np.zeros(8, dtype=np.int64)
 
     rc = lib.acm_scan_blocks(
         data, len(data), skip_bits, header.level, rows,
         max_blocks, max_events,
         _ptr(k, ctypes.c_int16), _ptr(pwr, ctypes.c_uint8),
         _ptr(val, ctypes.c_uint16), _ptr(events, ctypes.c_int16),
-        _ptr(tell, ctypes.c_int64), _ptr(meta, ctypes.c_int64),
+        _ptr(tell, ctypes.c_int64), _ptr(col_tmp, ctypes.c_int16),
+        _ptr(meta, ctypes.c_int64),
     )
     if rc != 0:
         # can't happen per the bound above; fall back to the spec anyway
         return oracle.scan_bytes(bytes(data), max_blocks)
 
-    n_blocks, n_events, status, tell_end, tell0 = (int(x) for x in meta)
+    n_blocks, n_events, status, tell_end, tell0 = (int(x) for x in meta[:5])
     return ScanResult(
         header=header,
         k=k[:n_blocks],
@@ -133,4 +153,76 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
         raw_tell=tell[:n_events].copy(),
         raw_tell0=tell0,
         raw_tell_end=tell_end,
+    )
+
+
+@dataclasses.dataclass
+class PackedScan:
+    """Wire-format scan output: per-column width classes + packed payloads.
+
+    Class codes per (block, column): 0 all-zero, 1 four-bit (two rows per
+    byte, LSB nibble first, odd row padded), 2 eight-bit, 3 sixteen-bit.
+    Payloads are column-contiguous in (block, column) scan order.
+    """
+
+    header: AcmHeader
+    n_blocks: int
+    cls: np.ndarray  # uint8 [n_blocks, cols]
+    pay4: np.ndarray  # int8 [n4, ceil(rows/2)]
+    pay8: np.ndarray  # int8 [n8, rows]
+    pay16: np.ndarray  # int16 [n16, rows]
+    pwr: np.ndarray  # uint8 [n_blocks]
+    val: np.ndarray  # uint16 [n_blocks]
+    events: np.ndarray
+    status: int
+
+    @property
+    def wire_bytes(self) -> int:
+        return (self.cls.nbytes + self.pay4.nbytes + self.pay8.nbytes
+                + self.pay16.nbytes + self.val.nbytes)
+
+
+def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
+    """Native scan straight into the corpus wire format (see PackedScan)."""
+    lib, header, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
+    rows, cols = header.rows, header.cols
+    half = (rows + 1) // 2
+    ncols_cap = max_blocks * cols
+
+    cls = np.zeros((max_blocks, cols), dtype=np.uint8)
+    pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
+    pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
+    pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
+    pwr = np.zeros(max_blocks, dtype=np.uint8)
+    val = np.zeros(max_blocks, dtype=np.uint16)
+    events = np.zeros(max_events, dtype=np.int16)
+    tell = np.zeros(max_events, dtype=np.int64)
+    col_tmp = np.zeros(rows, dtype=np.int16)
+    meta = np.zeros(8, dtype=np.int64)
+
+    rc = lib.acm_scan_blocks_packed(
+        data, len(data), skip_bits, header.level, rows,
+        max_blocks, max_events,
+        _ptr(cls, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
+        _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
+        _ptr(pwr, ctypes.c_uint8), _ptr(val, ctypes.c_uint16),
+        _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
+        _ptr(col_tmp, ctypes.c_int16), _ptr(meta, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError("packed scan: event capacity exceeded")
+
+    n_blocks = int(meta[0])
+    n4, n8, n16 = int(meta[5]), int(meta[6]), int(meta[7])
+    return PackedScan(
+        header=header,
+        n_blocks=n_blocks,
+        cls=cls[:n_blocks],
+        pay4=pay4[:n4].copy(),
+        pay8=pay8[:n8].copy(),
+        pay16=pay16[:n16].copy(),
+        pwr=pwr[:n_blocks],
+        val=val[:n_blocks],
+        events=events[: int(meta[1])].copy(),
+        status=int(meta[2]),
     )

@@ -315,6 +315,58 @@ def random_blocks(
     return out
 
 
+def speech_blocks(
+    rng: np.random.Generator,
+    level: int,
+    rows: int,
+    n_blocks: int,
+    base_pwr: int = 6,
+    decay_cols: float = 8.0,
+) -> list[BlockData]:
+    """Audio-realistic blocks: subband energy decays with frequency.
+
+    Real ACM content (Fallout speech at ~13 kbps, README:82-83 +
+    util.c:161-162) has most energy in the low subbands and silent high
+    bands; this generator reproduces that shape (Laplacian coefficients
+    under an exponential spectral envelope). `decay_cols` sets the
+    envelope's 1/e width in columns; larger = denser, music-like content.
+    """
+    cols = 1 << level
+    c_idx = np.arange(cols)
+    out = []
+    for _ in range(n_blocks):
+        pwr = int(np.clip(base_pwr + rng.integers(-2, 3), 1, 15))
+        count = 1 << pwr
+        tau = decay_cols * (0.5 + rng.random())
+        env = count * np.exp(-c_idx / max(tau, 1e-6))
+        k = rng.laplace(0.0, np.maximum(env[None, :] / 3.0, 1e-9),
+                        size=(rows, cols))
+        k = np.clip(np.round(k), -count, count - 1).astype(np.int32)
+        k[:, env < 1.0] = 0  # subthreshold bands are silent
+        out.append(BlockData(pwr=pwr, val=int(rng.integers(100, 2000)), k=k))
+    return out
+
+
+def speech_acm_bytes(
+    rng: np.random.Generator,
+    level: int = 7,
+    rows: int = 16,
+    n_blocks: int = 8,
+    channels: int = 1,
+    rate: int = 22050,
+    base_pwr: int = 6,
+    decay_cols: float = 8.0,
+    wavc: bool = False,
+) -> bytes:
+    """One-call audio-realistic fixture stream (see speech_blocks)."""
+    blocks = speech_blocks(rng, level, rows, n_blocks, base_pwr=base_pwr,
+                           decay_cols=decay_cols)
+    data = encode_acm(blocks, n_blocks * rows * (1 << level),
+                      channels=channels, rate=rate, level=level, rows=rows,
+                      rng=rng)
+    return wavc_wrap(data) if wavc else data
+
+
 def random_acm_bytes(
     rng: np.random.Generator,
     level: int = 4,

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence, Union
 
 import jax
@@ -174,11 +175,12 @@ class DeviceCorpus:
 
     def checksum(self) -> int:
         """Device-side reduction over all decoded PCM (forces
-        materialization; fetches only scalars)."""
-        total = 0
-        for b in self._buckets:
-            total += int(jnp.sum(b.pcm.astype(jnp.int32), dtype=jnp.int32))
-        return total & 0xFFFFFFFF
+        materialization; fetches only scalars). All bucket reductions are
+        dispatched before any is fetched — one round-trip of latency, not
+        one per bucket."""
+        sums = [jnp.sum(b.pcm.astype(jnp.int32), dtype=jnp.int32)
+                for b in self._buckets]
+        return sum(int(s) for s in sums) & 0xFFFFFFFF
 
     def device_arrays(self) -> list[tuple[list[int], jax.Array]]:
         """[(file_indices, int16 pcm [B, nb, block_len])] per bucket."""
@@ -226,55 +228,56 @@ def _n_good(events: np.ndarray) -> tuple[int, int]:
     return ng, 0
 
 
-def _dispatch_cols_wire(
-    chunk: list[_FileEntry], level: int, rows: int, nb: int
-) -> _BucketOut:
-    """Scan a chunk with the native packed scanner and dispatch synthesis
-    from the per-column wire format (see ops.synth_jax.synth_pcm_cols)."""
-    from ..ops.synth_jax import synth_pcm_cols
+_SCAN_BUFS = None
+
+
+def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
+    """Host half of the cols-wire path: one zero-copy native scan per file,
+    writing straight into the chunk's wire buffers (no assembly copies)."""
+    global _SCAN_BUFS
     from ..scan import native as _native
 
     cols = 1 << level
     half = (rows + 1) // 2
     b = len(chunk)
+    ncols_cap = b * nb * cols
     cls = np.zeros((b, nb, cols), dtype=np.uint8)
-    vals = np.zeros((b, nb), dtype=np.int32)
-    p4s, p8s, p16s = [], [], []
+    pwr = np.zeros((b, nb), dtype=np.uint8)
+    vals = np.zeros((b, nb), dtype=np.uint16)
+    pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
+    pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
+    pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
+
+    max_bytes = max(len(e.data) for e in chunk)
+    if _SCAN_BUFS is None or not _SCAN_BUFS.fits(max_bytes):
+        _SCAN_BUFS = _native.CorpusScanBuffers(
+            max_file_bytes=max(1 << 22, max_bytes)
+        )
+
+    o4 = o8 = o16 = 0
     for j, e in enumerate(chunk):
-        ps = _native.scan_bytes_packed(e.data)
-        ng, err = _n_good(ps.events)
+        ng, err, o4, o8, o16 = _native.scan_corpus_into(
+            e.data, e.header, cls[j], pwr[j], vals[j],
+            pay4, pay8, pay16, o4, o8, o16, _SCAN_BUFS,
+        )
         e.n_good, e.first_err = ng, err
-        if ng:
-            cls[j, :ng] = ps.cls[:ng]
-            vals[j, :ng] = ps.val[:ng].astype(np.int32)
-            # payload rows are column-contiguous in block order, so the
-            # first sum(cls[:ng]==c) rows belong to the good blocks
-            head = ps.cls[:ng]
-            p4s.append(ps.pay4[: int((head == 1).sum())])
-            p8s.append(ps.pay8[: int((head == 2).sum())])
-            p16s.append(ps.pay16[: int((head == 3).sum())])
 
-    def cat(parts: list[np.ndarray], width: int, dtype) -> np.ndarray:
-        if parts:
-            a = np.concatenate(parts, axis=0)
-        else:
-            a = np.zeros((0, width), dtype=dtype)
-        padded = _round_up(max(a.shape[0], 0), 4096) if a.shape[0] else 0
-        if padded != a.shape[0]:
-            a = np.concatenate(
-                [a, np.zeros((padded - a.shape[0], width), dtype=a.dtype)]
-            )
-        return a
-
-    pay4 = cat(p4s, half, np.int8)
-    pay8 = cat(p8s, rows, np.int8)
-    pay16 = cat(p16s, rows, np.int16)
     wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
+    # buffers are calloc-zeroed beyond the counters, so padding to stable
+    # compiled shapes is a contiguous zero-copy slice
+    return (cls, pay4[: _round_up(o4, 4096)], pay8[: _round_up(o8, 4096)],
+            pay16[: _round_up(o16, 4096)], vals, wrap0)
 
+
+def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int) -> _BucketOut:
+    """Device half: transfer wire arrays and dispatch fused unpack+synth."""
+    from ..ops.synth_jax import synth_pcm_cols
+
+    cls, pay4, pay8, pay16, vals, wrap0 = arrays
     pcm, _ = synth_pcm_cols(
         jnp.asarray(cls), jnp.asarray(pay4), jnp.asarray(pay8),
         jnp.asarray(pay16), jnp.asarray(vals), jnp.asarray(wrap0),
-        level=level, rows=rows, batch=b, nb=nb,
+        level=level, rows=rows, batch=len(chunk), nb=nb,
     )
     return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
 
@@ -326,65 +329,79 @@ def decode_corpus_device(
 
         use_cols_wire = _native.available()
 
-    # 2. per bucket, chunked scan → transfer → dispatch (all async)
-    for (level, rows, nb), entries in buckets.items():
-        cols = 1 << level
-        wlen = 2 * cols - 2
-        step = len(entries) if mesh is not None else max(1, chunk_files)
-        for lo in range(0, len(entries), step):
-            chunk = entries[lo : lo + step]
-            if use_cols_wire:
-                out._add_bucket(_dispatch_cols_wire(chunk, level, rows, nb))
-                continue
-            b = _round_up(len(chunk), n_shards)
-            k = np.zeros((b, nb, rows, cols), dtype=np.int16)
-            vals = np.zeros((b, nb), dtype=np.int32)
-            for j, e in enumerate(chunk):
-                scan = scan_bytes(e.data)
-                ng = 0
-                for ev in scan.events:
-                    if ev != 0:
-                        e.first_err = int(ev)
-                        break
-                    ng += 1
-                e.n_good = ng
-                if ng:
-                    k[j, :ng] = scan.k[:ng]
-                    vals[j, :ng] = scan.val[:ng].astype(np.int32)
-            wrap0 = np.zeros((b, wlen), dtype=np.int32)
-
-            if mesh is None and backend == "jax" and pack:
-                # pack coefficients for the wire; unpack happens on device
-                # (class counts padded to multiples of 64 blocks to bound
-                # the number of compiled shapes)
-                from ..ops.packing import class_counts, pack_blocks
-                from ..ops.synth_jax import synth_pcm_packed
-
-                kflat = k.reshape(b * nb, rows, cols)
-                pads = tuple(_round_up(c, 64) for c in class_counts(kflat))
-                pk = pack_blocks(kflat, pad_to=pads)
-                pcm, _ = synth_pcm_packed(
-                    jnp.asarray(pk.p4), jnp.asarray(pk.p8), jnp.asarray(pk.p16),
-                    jnp.asarray(pk.idx4), jnp.asarray(pk.idx8),
-                    jnp.asarray(pk.idx16),
-                    jnp.asarray(vals), jnp.asarray(wrap0),
-                    level=level, rows=rows, batch=b, nb=nb,
+    # 2. per bucket, chunked scan → transfer → dispatch. The device
+    # submission (which blocks the calling thread on the host→device wire)
+    # runs on a single worker thread so the GIL-free C++ scan of chunk N+1
+    # overlaps chunk N's transfer.
+    submitter = ThreadPoolExecutor(max_workers=1)
+    pending: list = []
+    try:
+        for (level, rows, nb), entries in buckets.items():
+            cols = 1 << level
+            wlen = 2 * cols - 2
+            step = len(entries) if mesh is not None else max(1, chunk_files)
+            for lo in range(0, len(entries), step):
+                chunk = entries[lo : lo + step]
+                if use_cols_wire:
+                    arrays = _scan_cols_wire(chunk, level, rows, nb)
+                    pending.append(submitter.submit(
+                        _dispatch_cols_wire, arrays, chunk, level, rows, nb
+                    ))
+                    continue
+                out._add_bucket(
+                    _dispatch_dense(chunk, level, rows, nb, wlen, mesh,
+                                    n_shards, synth_fn,
+                                    pack=pack and backend == "jax")
                 )
-            else:
-                args = (jnp.asarray(k), jnp.asarray(vals), jnp.asarray(wrap0))
-                if mesh is not None:
-                    shardings = (
-                        NamedSharding(mesh, P("files", None, None, None)),
-                        NamedSharding(mesh, P("files", None)),
-                        NamedSharding(mesh, P("files", None)),
-                    )
-                    args = tuple(
-                        jax.device_put(a, s) for a, s in zip(args, shardings)
-                    )
-                pcm, _ = synth_fn(*args, level=level, rows=rows)
-            out._add_bucket(_BucketOut(level=level, rows=rows, entries=chunk,
-                                       pcm=pcm))
+        for fut in pending:
+            out._add_bucket(fut.result())
+    finally:
+        submitter.shutdown(wait=False)
     return out
+
+
+def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
+                    pack: bool) -> _BucketOut:
+    """Dense-tensor path: oracle-or-native scan, optional per-block packing,
+    optional mesh sharding (used for pallas backend, mesh runs, pack=False)."""
+    cols = 1 << level
+    b = _round_up(len(chunk), n_shards)
+    k = np.zeros((b, nb, rows, cols), dtype=np.int16)
+    vals = np.zeros((b, nb), dtype=np.int32)
+    for j, e in enumerate(chunk):
+        scan = scan_bytes(e.data)
+        e.n_good, e.first_err = _n_good(scan.events)
+        if e.n_good:
+            k[j, : e.n_good] = scan.k[: e.n_good]
+            vals[j, : e.n_good] = scan.val[: e.n_good].astype(np.int32)
+    wrap0 = np.zeros((b, wlen), dtype=np.int32)
+
+    if mesh is None and pack:
+        # pack coefficients for the wire; unpack happens on device (class
+        # counts padded to multiples of 64 blocks to bound compiled shapes)
+        from ..ops.packing import class_counts, pack_blocks
+        from ..ops.synth_jax import synth_pcm_packed
+
+        kflat = k.reshape(b * nb, rows, cols)
+        pads = tuple(_round_up(c, 64) for c in class_counts(kflat))
+        pk = pack_blocks(kflat, pad_to=pads)
+        pcm, _ = synth_pcm_packed(
+            jnp.asarray(pk.p4), jnp.asarray(pk.p8), jnp.asarray(pk.p16),
+            jnp.asarray(pk.idx4), jnp.asarray(pk.idx8), jnp.asarray(pk.idx16),
+            jnp.asarray(vals), jnp.asarray(wrap0),
+            level=level, rows=rows, batch=b, nb=nb,
+        )
+    else:
+        args = (jnp.asarray(k), jnp.asarray(vals), jnp.asarray(wrap0))
+        if mesh is not None:
+            shardings = (
+                NamedSharding(mesh, P("files", None, None, None)),
+                NamedSharding(mesh, P("files", None)),
+                NamedSharding(mesh, P("files", None)),
+            )
+            args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+        pcm, _ = synth_fn(*args, level=level, rows=rows)
+    return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
 
 
 def decode_corpus(

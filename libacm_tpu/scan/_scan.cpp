@@ -64,10 +64,14 @@ struct BitReader {
         std::min<int64_t>(32, total_bits - loaded_bits));
     int64_t start = loaded_bits >> 3;
     uint32_t word = 0;
-    for (int i = 0; i < take / 8; i++) {
-      int64_t pos = start + i;
-      uint32_t byte = pos < len ? data[pos] : 0;
-      word |= byte << (8 * i);
+    if (take == 32 && start + 4 <= len) {  // fast path: one unaligned load
+      std::memcpy(&word, data + start, 4);  // little-endian host assumed
+    } else {
+      for (int i = 0; i < take / 8; i++) {
+        int64_t pos = start + i;
+        uint32_t byte = pos < len ? data[pos] : 0;
+        word |= byte << (8 * i);
+      }
     }
     loaded_bits += take;
     if (take < need) {
@@ -271,7 +275,8 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                     int32_t /*level*/, int32_t rows, int32_t cols,
                     int64_t max_blocks, int64_t max_events,
                     int16_t* events_out, int64_t* tell_out, int64_t* meta,
-                    int16_t* col_tmp, Emitter& em) {
+                    int16_t* col_tmp, Emitter& em,
+                    bool stop_on_error = false) {
   BitReader b(data, nbytes);
   // replay the header reads (any split into <=31-bit gets leaves the
   // reservoir in the same state; positions drive reload phases)
@@ -323,6 +328,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
       n_blocks++;
     } else {
       em.rollback_block();
+      if (stop_on_error) break;  // corpus mode: post-error blocks unused
     }
   }
   meta[0] = n_blocks;
@@ -410,6 +416,10 @@ struct PackedEmitter {
   }
   void rollback_block() {
     n4 = s4; n8 = s8; n16 = s16;
+    // the failed attempt may have written class codes for its early
+    // columns; zero them so downstream cumsum positions stay aligned
+    // with the rolled-back payload streams
+    std::memset(cls_out + nb * cols, 0, cols);
   }
 };
 
@@ -458,6 +468,46 @@ int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
   meta[5] = em.n4;
   meta[6] = em.n8;
   meta[7] = em.n16;
+  return rc;
+}
+
+// Zero-copy corpus scan: writes straight into caller-owned CHUNK buffers.
+// cls_out / pwr_out / val_out point at this file's slots within the chunk
+// arrays; payload pointers are the shared chunk streams with this file's
+// columns appended starting at offsets off4/off8/off16 (absolute counters
+// returned in meta[5..7]). Scanning stops at the first failed decode
+// attempt (its error code lands in meta[8]; 0 = clean) — the corpus layer
+// never consumes post-error blocks (CLI-equivalent semantics,
+// reference acmtool.c:269-310). Payload capacity is the caller's concern.
+int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
+                             int64_t skip_bits, int32_t level, int32_t rows,
+                             int64_t max_blocks, uint8_t* cls_out,
+                             int8_t* pay4, int8_t* pay8, int16_t* pay16,
+                             int64_t off4, int64_t off8, int64_t off16,
+                             uint8_t* pwr_out, uint16_t* val_out,
+                             int16_t* events_scratch, int64_t* tell_scratch,
+                             int64_t max_events, int16_t* col_tmp,
+                             int64_t* meta) {
+  const int cols = 1 << level;
+  PackedEmitter em{cls_out, pay4, pay8, pay16, pwr_out, val_out, rows, cols};
+  em.n4 = off4;
+  em.n8 = off8;
+  em.n16 = off16;
+  em.s4 = off4;
+  em.s8 = off8;
+  em.s16 = off16;
+  int64_t rc = scan_driver(data, nbytes, skip_bits, level, rows, cols,
+                           max_blocks, max_events, events_scratch,
+                           tell_scratch, meta, col_tmp, em,
+                           /*stop_on_error=*/true);
+  meta[5] = em.n4;
+  meta[6] = em.n8;
+  meta[7] = em.n16;
+  int64_t n_events = meta[1];
+  meta[8] = 0;
+  if (n_events > 0 && events_scratch[n_events - 1] != 0) {
+    meta[8] = events_scratch[n_events - 1];
+  }
   return rc;
 }
 

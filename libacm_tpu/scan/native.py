@@ -44,11 +44,13 @@ def _build() -> pathlib.Path | None:
             suffix=".so", dir=cache_dir, delete=False
         ) as tmp:
             tmp_path = pathlib.Path(tmp.name)
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(tmp_path), str(_SRC)],
-            check=True, capture_output=True,
-        )
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", "-o", str(tmp_path), str(_SRC)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            cmd.remove("-march=native")  # portability fallback
+            subprocess.run(cmd, check=True, capture_output=True)
         tmp_path.replace(so)  # atomic under concurrent builders
         return so
     except (OSError, subprocess.CalledProcessError):
@@ -73,6 +75,21 @@ def _load():
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    fc = lib.acm_scan_corpus_into
+    fc.restype = ctypes.c_int64
+    fc.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),  # cls slot
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int16),  # pay4, pay8, pay16 (chunk streams)
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # off4/8/16
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int64),
     ]
     fp = lib.acm_scan_blocks_packed
@@ -180,6 +197,55 @@ class PackedScan:
     def wire_bytes(self) -> int:
         return (self.cls.nbytes + self.pay4.nbytes + self.pay8.nbytes
                 + self.pay16.nbytes + self.val.nbytes)
+
+
+class CorpusScanBuffers:
+    """Reusable scratch for scan_corpus_into (events/tell/col/meta)."""
+
+    def __init__(self, max_rows: int = 4096, max_file_bytes: int = 1 << 22):
+        self.events = np.zeros((8 * (max_file_bytes + 1)) // 20 + 4,
+                               dtype=np.int16)
+        self.tell = np.zeros_like(self.events, dtype=np.int64)
+        self.col = np.zeros(max_rows, dtype=np.int16)
+        self.meta = np.zeros(9, dtype=np.int64)
+
+    def fits(self, nbytes: int) -> bool:
+        return (8 * (nbytes + 1)) // 20 + 4 <= len(self.events)
+
+
+def scan_corpus_into(
+    data: bytes,
+    header: AcmHeader,
+    cls_slot: np.ndarray,  # uint8 [nb, cols] — this file's chunk slot
+    pwr_slot: np.ndarray,  # uint8 [nb]
+    val_slot: np.ndarray,  # uint16 [nb]
+    pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,  # chunk streams
+    off4: int, off8: int, off16: int,
+    bufs: CorpusScanBuffers,
+) -> tuple[int, int, int, int, int]:
+    """Zero-copy corpus scan of one file into chunk buffers.
+
+    Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16).
+    Stops at the first failed decode attempt (corpus/CLI semantics).
+    """
+    lib = _load()
+    assert lib is not None and bufs.fits(len(data))
+    skip_bits = 8 * (ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0))
+    max_blocks = min(header.n_blocks, cls_slot.shape[0])
+    rc = lib.acm_scan_corpus_into(
+        data, len(data), skip_bits, header.level, header.rows, max_blocks,
+        _ptr(cls_slot, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
+        _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
+        off4, off8, off16,
+        _ptr(pwr_slot, ctypes.c_uint8), _ptr(val_slot, ctypes.c_uint16),
+        _ptr(bufs.events, ctypes.c_int16), _ptr(bufs.tell, ctypes.c_int64),
+        len(bufs.events), _ptr(bufs.col, ctypes.c_int16),
+        _ptr(bufs.meta, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError("corpus scan: event capacity exceeded")
+    m = bufs.meta
+    return int(m[0]), int(m[8]), int(m[5]), int(m[6]), int(m[7])
 
 
 def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:

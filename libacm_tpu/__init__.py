@@ -37,6 +37,7 @@ from .format import (
 )
 from .stream import (
     AcmStream,
+    DecodeState,
     acm_bitrate,
     acm_channels,
     acm_close,
@@ -67,6 +68,7 @@ __all__ = [
     "AcmException",
     "AcmHeader",
     "AcmStream",
+    "DecodeState",
     "acm_strerror",
     "acm_open_decoder",
     "acm_open_file",

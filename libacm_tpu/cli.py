@@ -244,16 +244,19 @@ def main(argv: list[str] | None = None) -> int:
             set_channels_cmd(fn, set_chans)
         return 0
 
-    # decode
+    # decode (LIBACM_TPU_PROFILE=<dir> wraps the run in a profiler trace)
     if not args:
         raise usage(1)
-    if fn2 is not None:
-        if len(args) != 1:
-            raise usage(1)
-        decode_file(args[0], fn2, cf)
-    else:
-        for fn in args:
-            decode_file(fn, _makefn(fn, ".raw" if cf.raw else ".wav"), cf)
+    from .utils.profiling import maybe_trace_from_env
+
+    with maybe_trace_from_env():
+        if fn2 is not None:
+            if len(args) != 1:
+                raise usage(1)
+            decode_file(args[0], fn2, cf)
+        else:
+            for fn in args:
+                decode_file(fn, _makefn(fn, ".raw" if cf.raw else ".wav"), cf)
     return 0
 
 

@@ -1,0 +1,106 @@
+"""Dataset-ingest adapters — the rebuild's answer to the player plugins.
+
+The reference ships four player plugins (xmms2/audacious/gstreamer/winamp,
+`/root/reference/plugins/`) whose real content is: custom IO injection,
+streaming decode, and interactive seek on top of the core API. Modern
+consumers of this framework are data pipelines, so the equivalents are
+iterator/ingest adapters over corpora (the custom-IO use case itself is
+covered by the `AcmIO` duck-typed protocol in `libacm_tpu.io`, and
+interactive streaming + seek by `AcmStream`).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from . import io as acmio
+from .parallel.corpus import CorpusConfig, FileResult, decode_corpus
+
+
+def iter_pcm(
+    sources: Sequence,
+    *,
+    batch_files: int = 64,
+    config: CorpusConfig | None = None,
+) -> Iterator[FileResult]:
+    """Stream per-file decode results over an arbitrarily large corpus.
+
+    Decodes `batch_files` files per device dispatch round, yielding
+    results in manifest order; memory stays O(batch), not O(corpus).
+    Failed files yield their FileResult (status != 0) like decode_corpus.
+    """
+    cfg = config or CorpusConfig()
+    batch_files = max(1, batch_files)
+    for lo in range(0, len(sources), batch_files):
+        for r in decode_corpus(sources[lo : lo + batch_files], config=cfg):
+            yield r
+
+
+def iter_frames(
+    sources: Sequence,
+    frame_samples: int,
+    *,
+    hop: int | None = None,
+    pad_value: int = 0,
+    batch_files: int = 64,
+    config: CorpusConfig | None = None,
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Fixed-size training frames from a corpus: (file_index, int16 frame).
+
+    Frames are per-file windows of `frame_samples` interleaved words with
+    stride `hop` (default: no overlap); the final partial window is padded
+    with `pad_value`. Files that failed to open are skipped.
+    """
+    hop = hop or frame_samples
+    for r in iter_pcm(sources, batch_files=batch_files, config=config):
+        if r.pcm is None or len(r.pcm) == 0:
+            continue
+        pcm = r.pcm
+        for lo in range(0, len(pcm), hop):
+            w = pcm[lo : lo + frame_samples]
+            if len(w) < frame_samples:
+                w = np.concatenate([
+                    w, np.full(frame_samples - len(w), pad_value, np.int16)
+                ])
+            yield r.index, w
+            if lo + frame_samples >= len(pcm):
+                break
+
+
+def decode_to_wav_dir(
+    sources: Sequence[str | os.PathLike],
+    out_dir: str | os.PathLike,
+    *,
+    config: CorpusConfig | None = None,
+    batch_files: int = 64,
+) -> list[FileResult]:
+    """Batch-transcode a corpus to WAV files (batched `acmtool -d`).
+
+    Output names mirror the inputs with a .wav suffix; decode errors are
+    reported in the returned results, with partial files written zero-padded
+    to the declared length exactly like the CLI (acmtool.c:293-310).
+    """
+    out_path = pathlib.Path(out_dir)
+    out_path.mkdir(parents=True, exist_ok=True)
+    results = []
+    srcs = list(sources)
+    for lo in range(0, len(srcs), max(1, batch_files)):
+        chunk = srcs[lo : lo + batch_files]
+        for src, r in zip(chunk, decode_corpus(chunk, config=config)):
+            results.append(r)
+            if r.pcm is None:
+                continue
+            info = r.info
+            total = (r.info and len(r.pcm) + r.filler_words) or 0
+            wav = out_path / (pathlib.Path(src).stem + ".wav")
+            with open(wav, "wb") as f:
+                f.write(acmio.wav_header(total // info.channels,
+                                         info.channels, info.rate))
+                f.write(r.pcm.astype("<i2").tobytes())
+                if r.filler_words:
+                    f.write(bytes(2 * r.filler_words))
+    return results

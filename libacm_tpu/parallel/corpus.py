@@ -36,9 +36,13 @@ zero words the CLI would append to reach the declared length.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence, Union
+
+logger = logging.getLogger("libacm_tpu.corpus")
 
 import jax
 import jax.numpy as jnp
@@ -150,6 +154,46 @@ class _BucketOut:
     pcm: jax.Array  # int16 [B, nb, rows*cols] (padded files/blocks included)
 
 
+@dataclasses.dataclass(frozen=True)
+class CorpusConfig:
+    """Batch-job configuration (SURVEY §5 config system).
+
+    The reference's config surface is CLI flags + `force_chans` + the
+    output-format triple; corpus jobs add scheduling knobs, gathered here
+    as one frozen value so jobs are reproducible from their config.
+    """
+
+    force_chans: int = 0
+    chunk_files: int = 16
+    pack: bool = True
+    backend: str = "jax"  # "jax" | "pallas"
+
+
+@dataclasses.dataclass
+class CorpusSummary:
+    """Observability counters for one corpus decode (SURVEY §5 metrics)."""
+
+    n_files: int = 0
+    n_ok: int = 0
+    n_failed: int = 0  # unreadable / not-ACM
+    n_partial: int = 0  # decoded with a mid-stream error status
+    samples: int = 0
+    wall_s: float = 0.0
+    scan_s: float = 0.0  # host CPU in the bitstream front-end
+
+    @property
+    def msamples_per_s(self) -> float:
+        return self.samples / self.wall_s / 1e6 if self.wall_s else 0.0
+
+    def realtime_factor(self, rate: int = 22050) -> float:
+        return self.msamples_per_s * 1e6 / rate
+
+    def as_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["msamples_per_s"] = round(self.msamples_per_s, 2)
+        return d
+
+
 class DeviceCorpus:
     """Decoded corpus with PCM left on device (for TPU-side consumers)."""
 
@@ -157,6 +201,7 @@ class DeviceCorpus:
         self._n = n_files
         self._buckets: list[_BucketOut] = []
         self._failed: dict[int, FileResult] = {}
+        self.summary = CorpusSummary(n_files=n_files)
 
     # -- construction (internal) -------------------------------------------
 
@@ -290,6 +335,7 @@ def decode_corpus_device(
     backend: str = "jax",
     chunk_files: int = 16,
     pack: bool = True,
+    config: CorpusConfig | None = None,
 ) -> DeviceCorpus:
     """Decode a corpus; leave PCM on device (see DeviceCorpus).
 
@@ -297,6 +343,12 @@ def decode_corpus_device(
     `chunk_files` files: host-scan, async-transfer, async-dispatch synthesis
     — successive chunks pipeline host scan against device work.
     """
+    if config is not None:
+        force_chans = config.force_chans
+        chunk_files = config.chunk_files
+        pack = config.pack
+        backend = config.backend
+    t_start = time.perf_counter()
     out = DeviceCorpus(len(sources))
 
     # 1. cheap header pass → buckets keyed by static shape
@@ -343,7 +395,9 @@ def decode_corpus_device(
             for lo in range(0, len(entries), step):
                 chunk = entries[lo : lo + step]
                 if use_cols_wire:
+                    t0 = time.perf_counter()
                     arrays = _scan_cols_wire(chunk, level, rows, nb)
+                    out.summary.scan_s += time.perf_counter() - t0
                     pending.append(submitter.submit(
                         _dispatch_cols_wire, arrays, chunk, level, rows, nb
                     ))
@@ -357,6 +411,19 @@ def decode_corpus_device(
             out._add_bucket(fut.result())
     finally:
         submitter.shutdown(wait=False)
+
+    s = out.summary
+    for b in out._buckets:
+        block_len = b.rows << b.level
+        for e in b.entries:
+            s.samples += e.n_good * block_len
+            if e.first_err in (0, ACM_EXPECTED_EOF):
+                s.n_ok += 1
+            else:
+                s.n_partial += 1
+    s.n_failed = len(out._failed)
+    s.wall_s = time.perf_counter() - t_start
+    logger.debug("corpus decode: %s", s.as_dict())
     return out
 
 
@@ -412,9 +479,10 @@ def decode_corpus(
     backend: str = "jax",
     chunk_files: int = 16,
     pack: bool = True,
+    config: CorpusConfig | None = None,
 ) -> list[FileResult]:
     """Decode a corpus of ACM/WAVC files; fetch PCM to host per file."""
     return decode_corpus_device(
         sources, force_chans=force_chans, mesh=mesh, backend=backend,
-        chunk_files=chunk_files, pack=pack,
+        chunk_files=chunk_files, pack=pack, config=config,
     ).to_results()

@@ -1,0 +1,74 @@
+// Standalone sanitizer driver for the scanner (ASAN/UBSAN CI builds;
+// SURVEY §5 race-detection/sanitizers). Compiled together with _scan.cpp:
+//   g++ -O1 -g -fsanitize=address,undefined _scan.cpp _scan_sanmain.cpp
+// Usage: sanscan <file> <skip_bits> <level> <rows> <max_blocks>
+// Exercises all three entry points on the input; exits non-zero only if a
+// sanitizer fires (or args are bad). Output values are not checked here —
+// bit-exactness is covered by the Python differential tests.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+int64_t acm_scan_blocks(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
+                        int64_t, int64_t, int16_t*, uint8_t*, uint16_t*,
+                        int16_t*, int64_t*, int16_t*, int64_t*);
+int64_t acm_scan_blocks_packed(const uint8_t*, int64_t, int64_t, int32_t,
+                               int32_t, int64_t, int64_t, uint8_t*, int8_t*,
+                               int8_t*, int16_t*, uint8_t*, uint16_t*,
+                               int16_t*, int64_t*, int16_t*, int64_t*);
+int64_t acm_scan_corpus_into(const uint8_t*, int64_t, int64_t, int32_t,
+                             int32_t, int64_t, uint8_t*, int8_t*, int8_t*,
+                             int16_t*, int64_t, int64_t, int64_t, uint8_t*,
+                             uint16_t*, int16_t*, int64_t*, int64_t,
+                             int16_t*, int64_t*);
+}
+
+int main(int argc, char** argv) {
+  if (argc != 6) {
+    std::fprintf(stderr, "usage: %s file skip_bits level rows max_blocks\n",
+                 argv[0]);
+    return 2;
+  }
+  FILE* f = std::fopen(argv[1], "rb");
+  if (!f) return 2;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data(n ? n : 1);
+  if (n && std::fread(data.data(), 1, n, f) != static_cast<size_t>(n)) return 2;
+  std::fclose(f);
+
+  int64_t skip = std::atoll(argv[2]);
+  int level = std::atoi(argv[3]);
+  int rows = std::atoi(argv[4]);
+  int64_t maxb = std::atoll(argv[5]);
+  int64_t cols = 1LL << level;
+  int64_t maxev = (8 * (n + 1)) / 20 + 4;
+  int64_t half = (rows + 1) / 2;
+  int64_t ncols = maxb * cols;
+
+  std::vector<int16_t> k(maxb * rows * cols), col(rows), ev(maxev);
+  std::vector<uint8_t> pwr(maxb), cls(ncols);
+  std::vector<uint16_t> val(maxb);
+  std::vector<int64_t> tell(maxev), meta(9);
+  std::vector<int8_t> p4(ncols * half), p8(ncols * rows);
+  std::vector<int16_t> p16(ncols * rows);
+
+  acm_scan_blocks(data.data(), n, skip, level, rows, maxb, maxev, k.data(),
+                  pwr.data(), val.data(), ev.data(), tell.data(), col.data(),
+                  meta.data());
+  acm_scan_blocks_packed(data.data(), n, skip, level, rows, maxb, maxev,
+                         cls.data(), p4.data(), p8.data(), p16.data(),
+                         pwr.data(), val.data(), ev.data(), tell.data(),
+                         col.data(), meta.data());
+  acm_scan_corpus_into(data.data(), n, skip, level, rows, maxb, cls.data(),
+                       p4.data(), p8.data(), p16.data(), 0, 0, 0, pwr.data(),
+                       val.data(), ev.data(), tell.data(), maxev, col.data(),
+                       meta.data());
+  std::printf("ok %lld blocks\n", static_cast<long long>(meta[0]));
+  return 0;
+}

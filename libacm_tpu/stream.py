@@ -23,6 +23,8 @@ next read continues from the bit position where the failed attempt stopped
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Union
 
@@ -44,6 +46,37 @@ from .format import (
 from .scan.oracle import BitReader, ScanResult, parse_header
 
 Source = Union[str, os.PathLike, bytes, bytearray, acmio.AcmIO]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeState:
+    """Serializable resume point of a stream (SURVEY §5 checkpoint/resume).
+
+    The reference has no checkpointing — its analog is backward seek, a
+    full reset + O(position) re-decode (util.c:214-253). Because this
+    framework's heavy state (the scan + synthesized PCM) is a pure cache
+    derived from the source bytes, the complete resumable state is just the
+    read-cursor machine below; restoring is O(1) given the same source.
+    The fields mirror the reference's live state (stream_pos/block_pos/
+    block_ready, libacm.h:80-99) plus this design's event cursor.
+    """
+
+    stream_pos: int
+    block_pos: int
+    block_ready: bool
+    event_idx: int
+    cur_block: int
+    blocks_popped: int
+    end_attempted: bool
+    post_seek: bool
+    force_channels: int  # effective channel count (resolution result)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "DecodeState":
+        return cls(**json.loads(s))
 
 
 class AcmStream:
@@ -220,6 +253,43 @@ class AcmStream:
             got += res
             left -= len(res)
         return bytes(got)
+
+    # -- checkpoint / resume (new capability; SURVEY §5) -------------------
+
+    def get_state(self) -> DecodeState:
+        """Snapshot the resumable decode state (cheap, O(1))."""
+        return DecodeState(
+            stream_pos=self._stream_pos,
+            block_pos=self._block_pos,
+            block_ready=self._block_ready,
+            event_idx=self._event_idx,
+            cur_block=self._cur_block,
+            blocks_popped=self._blocks_popped,
+            end_attempted=self._end_attempted,
+            post_seek=self._post_seek,
+            force_channels=self.info.channels,
+        )
+
+    def set_state(self, st: DecodeState) -> None:
+        """O(1) resume from a snapshot taken on a stream of the same file.
+
+        The effective channel count must match (it changes word
+        accounting); everything heavy is re-derived lazily from the source.
+        """
+        if st.force_channels != self.info.channels:
+            raise AcmException(
+                AcmError.ERR_BADFMT,
+                f"state has channels={st.force_channels}, "
+                f"stream has {self.info.channels}",
+            )
+        self._stream_pos = st.stream_pos
+        self._block_pos = st.block_pos
+        self._block_ready = st.block_ready
+        self._event_idx = st.event_idx
+        self._cur_block = st.cur_block
+        self._blocks_popped = st.blocks_popped
+        self._end_attempted = st.end_attempted
+        self._post_seek = st.post_seek
 
     # -- seeking (util.c:206-253) -----------------------------------------
 

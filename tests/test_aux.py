@@ -1,0 +1,108 @@
+"""Auxiliary subsystems: checkpoint/resume, ingest adapters, summary,
+manifest sharding, profiling hooks (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from libacm_tpu import testing
+from libacm_tpu.stream import AcmStream, DecodeState, acm_open_decoder
+from libacm_tpu.parallel import decode_corpus_device
+from libacm_tpu.parallel.corpus import CorpusConfig
+from libacm_tpu.parallel.distributed import shard_manifest, allreduce_summary
+from libacm_tpu import ingest
+
+
+def _stream_bytes(seed=0, n_blocks=6):
+    rng = np.random.default_rng(seed)
+    return testing.random_acm_bytes(rng, level=3, rows=16, n_blocks=n_blocks)
+
+
+def test_decode_state_roundtrip_resume():
+    data = _stream_bytes()
+    a = acm_open_decoder(data)
+    first = a.read_loop(1000)
+    st = a.get_state()
+    rest_a = a.read_loop(10**6)
+
+    b = acm_open_decoder(data)
+    b.set_state(DecodeState.from_json(st.to_json()))
+    rest_b = b.read_loop(10**6)
+    assert rest_a == rest_b
+    assert b.pcm_tell() == a.pcm_tell()
+
+
+def test_decode_state_channel_mismatch_rejected():
+    data = _stream_bytes()
+    a = acm_open_decoder(data)
+    st = a.get_state()
+    b = acm_open_decoder(data, force_chans=2)
+    with pytest.raises(Exception):
+        b.set_state(st)
+
+
+def test_iter_pcm_matches_batch():
+    files = [_stream_bytes(seed=i, n_blocks=2 + i % 3) for i in range(7)]
+    from libacm_tpu.parallel import decode_corpus
+
+    whole = decode_corpus(files)
+    streamed = list(ingest.iter_pcm(files, batch_files=3))
+    assert len(streamed) == len(whole)
+    for x, y in zip(streamed, whole):
+        np.testing.assert_array_equal(x.pcm, y.pcm)
+
+
+def test_iter_frames_shapes_and_padding():
+    files = [_stream_bytes(seed=1, n_blocks=2)]
+    frames = list(ingest.iter_frames(files, 1000, batch_files=1))
+    total = 2 * 16 * 8
+    assert len(frames) == -(-total // 1000)
+    assert all(f.shape == (1000,) and f.dtype == np.int16 for _, f in frames)
+    # padded tail: last frame ends with zeros
+    assert frames[-1][1][-(1000 - total % 1000):].tolist() == [0] * (1000 - total % 1000)
+
+
+def test_decode_to_wav_dir(tmp_path):
+    import pathlib
+    src = tmp_path / "a.acm"
+    src.write_bytes(_stream_bytes(seed=3))
+    res = ingest.decode_to_wav_dir([src], tmp_path / "out")
+    assert res[0].ok
+    wav = (tmp_path / "out" / "a.wav").read_bytes()
+    # compare against the CLI's own output
+    from libacm_tpu import cli
+    cli.main(["-d", "-q", "-o", str(tmp_path / "cli.wav"), str(src)])
+    assert wav == (tmp_path / "cli.wav").read_bytes()
+
+
+def test_corpus_summary_counters():
+    good = _stream_bytes(seed=5)
+    corpus = decode_corpus_device([good, b"nope", good[:40]],
+                                  config=CorpusConfig(chunk_files=2))
+    s = corpus.summary
+    assert s.n_files == 3
+    assert s.n_failed == 1
+    assert s.n_ok + s.n_partial == 2
+    assert s.samples > 0 and s.wall_s > 0
+    assert s.as_dict()["msamples_per_s"] >= 0
+
+
+def test_shard_manifest_partition():
+    paths = list(range(10))
+    shards = [shard_manifest(paths, i, 3) for i in range(3)]
+    assert sorted(x for s in shards for x in s) == paths
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_allreduce_summary_single_process():
+    from libacm_tpu.parallel.corpus import CorpusSummary
+
+    s = CorpusSummary(n_files=3, n_ok=2, samples=100, wall_s=1.0)
+    assert allreduce_summary(s) is s
+
+
+def test_profiling_annotation_noop():
+    from libacm_tpu.utils.profiling import annotate, maybe_trace_from_env
+
+    with maybe_trace_from_env():
+        with annotate("scan"):
+            pass

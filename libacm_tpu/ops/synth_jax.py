@@ -136,6 +136,32 @@ def synth_pcm_batch(
     return jax.vmap(fn)(k, vals, wrap0)
 
 
+def carry_of_block(
+    k: jax.Array,  # int16/int32 [rows, cols] — block i-1's coefficients
+    val: jax.Array,  # scalar int32
+    *,
+    level: int,
+    rows: int,
+) -> jax.Array:
+    """Exact wrap carry left behind by a block, from that block alone.
+
+    For rows >= 2, the carry tail of every pass depends only on the
+    block's own data: the incoming carry pollutes only the first
+    2*sub_len elements of each pass output, while the outgoing carry is
+    the last 2*sub_len elements of each pass *input* — the regions never
+    overlap (block_len >= cols + cols/2 whenever rows >= 2). Synthesizing
+    one block with a zero carry therefore yields the true carry state,
+    enabling O(1) random access into any stream (SURVEY §7.3.5): to decode
+    blocks [a, b), synthesize block a-1 with zero carry for its wrap, then
+    [a, b) with it. Callers must check rows >= 2 (or a == 0).
+    """
+    cols = 1 << level
+    wrap0 = jnp.zeros(max(2 * cols - 2, 1), jnp.int32)
+    _, wrap = synth_words(k[None], val.reshape(1), wrap0, level=level,
+                          rows=rows)
+    return wrap
+
+
 @functools.partial(
     jax.jit, static_argnames=("level", "rows", "batch", "nb")
 )

@@ -1,0 +1,133 @@
+"""O(segment) random access into ACM streams (BASELINE config 5).
+
+The reference's seek is reset + decode-forward: O(target) every time
+(util.c:214-253), because the bitstream has no block framing. Here a
+one-time scan builds a **BlockIndex** (each block's absolute starting bit
+offset — the reader state at any consumed-bit count is reconstructible in
+O(1), see BitReader::seek_to_bit in _scan.cpp); afterwards any segment
+decodes in O(segment):
+
+  1. scan blocks [a-1, b) starting at index[a-1] (one warm-up block);
+  2. synthesize them with a zero carry and drop block a-1's output —
+     exact because, for rows >= 2, an unknown carry pollutes only each
+     pass's head region while the outgoing carries come from pass-input
+     tails (ops.synth_jax.carry_of_block discussion);
+  3. slice/clamp to the requested words.
+
+rows == 1 streams fall back to decoding the prefix [0, b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import AcmHeader
+from ..scan import native
+from ..scan.oracle import BitReader, parse_header
+from .corpus import _round_up
+
+
+@dataclasses.dataclass
+class BlockIndex:
+    """Random-access index of one stream (8 bytes per block)."""
+
+    header: AcmHeader
+    #: int64 [n_good]: absolute bit offset where block i begins.
+    bitpos: np.ndarray
+    n_good: int
+    first_err: int
+
+    @property
+    def words_avail(self) -> int:
+        return self.n_good * self.header.block_len
+
+
+_BUFS: native.CorpusScanBuffers | None = None
+
+
+def _bufs(nbytes: int) -> native.CorpusScanBuffers:
+    global _BUFS
+    if _BUFS is None or not _BUFS.fits(nbytes):
+        _BUFS = native.CorpusScanBuffers(max_file_bytes=max(1 << 22, nbytes))
+    return _BUFS
+
+
+def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,
+               max_blocks: int, bitpos_out: np.ndarray | None = None):
+    """Scan up to max_blocks from start_bit into fresh wire buffers."""
+    rows, cols = header.rows, header.cols
+    half = (rows + 1) // 2
+    ncols_cap = max_blocks * cols
+    cls = np.zeros((1, max_blocks, cols), dtype=np.uint8)
+    pwr = np.zeros(max_blocks, dtype=np.uint8)
+    vals = np.zeros((1, max_blocks), dtype=np.uint16)
+    pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
+    pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
+    pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
+    ng, err, o4, o8, o16 = native.scan_corpus_into(
+        data, header, cls[0], pwr, vals[0], pay4, pay8, pay16, 0, 0, 0,
+        _bufs(len(data)), start_bit=start_bit, bitpos_out=bitpos_out,
+    )
+    return ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16
+
+
+def build_index(data: bytes) -> BlockIndex:
+    """One full scan → BlockIndex (also reports the stream's good-block
+    count and first error, like corpus decode)."""
+    header = parse_header(BitReader(data))
+    if header is None:
+        raise ValueError("not an ACM stream")
+    bitpos = np.zeros(header.n_blocks, dtype=np.int64)
+    ng, err, *_ = _scan_span(data, header, None, header.n_blocks, bitpos)
+    return BlockIndex(header=header, bitpos=bitpos[:ng].copy(), n_good=ng,
+                      first_err=err)
+
+
+def read_segment(data: bytes, index: BlockIndex, start_word: int,
+                 n_words: int) -> np.ndarray:
+    """Decode int16 words [start_word, start_word + n_words) in O(segment).
+
+    Clamps to the decodable stream end (min(total_values, words_avail));
+    returns possibly fewer words at the tail, empty beyond it.
+    """
+    h = index.header
+    bl = h.block_len
+    end_avail = min(h.total_values, index.words_avail)
+    start_word = max(0, start_word)
+    stop_word = min(start_word + max(0, n_words), end_avail)
+    if stop_word <= start_word:
+        return np.zeros(0, dtype=np.int16)
+
+    a = start_word // bl
+    b = -(-stop_word // bl)
+    warm = 1 if (a > 0 and h.rows >= 2) else a  # rows==1: prefix fallback
+    a0 = a - warm
+    nb = b - a0
+    nbp = _round_up(nb, 8)
+    ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16 = _scan_span(
+        data, h, int(index.bitpos[a0]) if a0 > 0 else None, nb
+    )
+    if nbp != nb:
+        cls = np.concatenate(
+            [cls, np.zeros((1, nbp - nb) + cls.shape[2:], np.uint8)], axis=1)
+        vals = np.concatenate(
+            [vals, np.zeros((1, nbp - nb), np.uint16)], axis=1)
+
+    from ..ops.synth_jax import synth_pcm_cols
+
+    pcm, _ = synth_pcm_cols(
+        jnp.asarray(cls),
+        jnp.asarray(pay4[: _round_up(o4, 256)]),
+        jnp.asarray(pay8[: _round_up(o8, 256)]),
+        jnp.asarray(pay16[: _round_up(o16, 256)]),
+        jnp.asarray(vals),
+        jnp.zeros((1, h.wrapbuf_len), jnp.int32),
+        level=h.level, rows=h.rows, batch=1, nb=nbp,
+    )
+    flat = np.asarray(jax.device_get(pcm[0])).reshape(-1)
+    lo = start_word - a0 * bl
+    return flat[lo : lo + (stop_word - start_word)]

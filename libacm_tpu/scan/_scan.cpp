@@ -88,6 +88,37 @@ struct BitReader {
   }
 
   inline int64_t loaded_bytes() const { return loaded_bits / 8; }
+
+  inline int64_t consumed_bits() const { return loaded_bits - avail; }
+
+  // O(1) exact state reconstruction at an arbitrary consumed-bit count.
+  // At any point with B bits consumed, loaded_bits is uniquely
+  // min(ceil(B/32)*32, total_bits) (reloads are 32-bit, on demand, and
+  // avail is always < 32), and the reservoir holds stream bits
+  // [B, loaded_bits) LSB-first — all recomputable from the data.
+  void seek_to_bit(int64_t B) {
+    if (B >= total_bits) {
+      loaded_bits = total_bits;
+      res = 0;
+      avail = 0;
+      fail = true;
+      return;
+    }
+    loaded_bits = std::min(((B + 31) / 32) * 32, total_bits);
+    avail = static_cast<int>(loaded_bits - B);
+    int64_t first_byte = B >> 3;
+    int64_t last_byte = (loaded_bits + 7) >> 3;
+    uint64_t acc = 0;
+    int got = 0;
+    for (int64_t byte = first_byte; byte < last_byte && got < 64; byte++) {
+      uint64_t v = byte < len ? data[byte] : 0;
+      acc |= v << got;
+      got += 8;
+    }
+    acc >>= (B & 7);
+    res = acc & ((1ull << avail) - 1);  // avail <= 31 always
+    fail = false;
+  }
 };
 
 // Coefficient lookup maps (decode.c:168-171).
@@ -276,19 +307,15 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                     int64_t max_blocks, int64_t max_events,
                     int16_t* events_out, int64_t* tell_out, int64_t* meta,
                     int16_t* col_tmp, Emitter& em,
-                    bool stop_on_error = false) {
+                    bool stop_on_error = false,
+                    int64_t* bitpos_out = nullptr) {
   BitReader b(data, nbytes);
-  // replay the header reads (any split into <=31-bit gets leaves the
-  // reservoir in the same state; positions drive reload phases)
-  for (int64_t left = skip_bits; left > 0;) {
-    int n = static_cast<int>(std::min<int64_t>(24, left));
-    b.get(n);
-    left -= n;
-  }
+  b.seek_to_bit(skip_bits);
   meta[4] = b.loaded_bytes();
 
   int64_t n_blocks = 0, n_events = 0, status = 0;
   while (n_blocks < max_blocks) {
+    int64_t attempt_bit = b.consumed_bits();
     uint32_t pwr = b.get(4);
     uint32_t val = b.get(16);
     if (b.fail) {
@@ -324,6 +351,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
     tell_out[n_events] = b.loaded_bytes();
     n_events++;
     if (outcome == 0) {
+      if (bitpos_out) bitpos_out[n_blocks] = attempt_bit;
       em.commit_block(pwr, val);
       n_blocks++;
     } else {
@@ -479,6 +507,10 @@ int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
 // attempt (its error code lands in meta[8]; 0 = clean) — the corpus layer
 // never consumes post-error blocks (CLI-equivalent semantics,
 // reference acmtool.c:269-310). Payload capacity is the caller's concern.
+// `skip_bits` is the absolute consumed-bit offset to start at (the header
+// length for a whole-file scan, or a BlockIndex entry for random access).
+// bitpos_out (nullable, [max_blocks]) receives each committed block's
+// absolute starting bit offset — the random-access index.
 int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
                              int64_t skip_bits, int32_t level, int32_t rows,
                              int64_t max_blocks, uint8_t* cls_out,
@@ -487,7 +519,7 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
                              uint8_t* pwr_out, uint16_t* val_out,
                              int16_t* events_scratch, int64_t* tell_scratch,
                              int64_t max_events, int16_t* col_tmp,
-                             int64_t* meta) {
+                             int64_t* meta, int64_t* bitpos_out) {
   const int cols = 1 << level;
   PackedEmitter em{cls_out, pay4, pay8, pay16, pwr_out, val_out, rows, cols};
   em.n4 = off4;
@@ -499,7 +531,7 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
   int64_t rc = scan_driver(data, nbytes, skip_bits, level, rows, cols,
                            max_blocks, max_events, events_scratch,
                            tell_scratch, meta, col_tmp, em,
-                           /*stop_on_error=*/true);
+                           /*stop_on_error=*/true, bitpos_out);
   meta[5] = em.n4;
   meta[6] = em.n8;
   meta[7] = em.n16;

@@ -90,7 +90,7 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
-        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     fp = lib.acm_scan_blocks_packed
     fp.restype = ctypes.c_int64
@@ -222,18 +222,25 @@ def scan_corpus_into(
     pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,  # chunk streams
     off4: int, off8: int, off16: int,
     bufs: CorpusScanBuffers,
+    start_bit: int | None = None,
+    bitpos_out: np.ndarray | None = None,  # int64 [nb]: per-block bit offset
 ) -> tuple[int, int, int, int, int]:
     """Zero-copy corpus scan of one file into chunk buffers.
 
     Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16).
     Stops at the first failed decode attempt (corpus/CLI semantics).
+    `start_bit` overrides the default header-skip start (random access via
+    a BlockIndex entry); `bitpos_out` collects the index on a full scan.
     """
     lib = _load()
     assert lib is not None and bufs.fits(len(data))
-    skip_bits = 8 * (ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0))
+    if start_bit is None:
+        start_bit = 8 * (
+            ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0)
+        )
     max_blocks = min(header.n_blocks, cls_slot.shape[0])
     rc = lib.acm_scan_corpus_into(
-        data, len(data), skip_bits, header.level, header.rows, max_blocks,
+        data, len(data), start_bit, header.level, header.rows, max_blocks,
         _ptr(cls_slot, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
         _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
         off4, off8, off16,
@@ -241,6 +248,7 @@ def scan_corpus_into(
         _ptr(bufs.events, ctypes.c_int16), _ptr(bufs.tell, ctypes.c_int64),
         len(bufs.events), _ptr(bufs.col, ctypes.c_int16),
         _ptr(bufs.meta, ctypes.c_int64),
+        _ptr(bitpos_out, ctypes.c_int64) if bitpos_out is not None else None,
     )
     if rc != 0:
         raise RuntimeError("corpus scan: event capacity exceeded")

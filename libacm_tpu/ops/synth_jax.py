@@ -196,7 +196,7 @@ def synth_pcm_packed(
     jax.jit, static_argnames=("level", "rows", "batch", "nb")
 )
 def synth_pcm_cols(
-    cls: jax.Array,  # uint8 [batch, nb, cols] per-column class codes
+    cls: jax.Array,  # uint8 [batch, nb, ceil(cols/4)] 2-bit-packed classes
     pay4: jax.Array, pay8: jax.Array, pay16: jax.Array,
     vals: jax.Array,  # [batch, nb]
     wrap0: jax.Array,  # [batch, 2*cols-2]
@@ -209,15 +209,18 @@ def synth_pcm_cols(
     """Batched synth from the per-column wire format (scanner packed mode).
 
     The C++ scanner emits column payloads classified {zero,4,8,16}-bit by
-    observed range; only those payloads plus a 1-byte/column class map
+    observed range; only those payloads plus a 2-bit/column class map
     cross the host↔device link. Unpack (cumsum + gather) and synthesis fuse
     into one device program.
     """
     from .packing import unpack_columns
 
     cols = 1 << level
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = (cls[..., None] >> shifts) & 3  # [batch, nb, stride, 4]
+    codes = codes.reshape(batch, nb, -1)[..., :cols]
     k_cols = unpack_columns(
-        cls.reshape(batch * nb * cols), pay4, pay8, pay16, rows=rows
+        codes.reshape(batch * nb * cols), pay4, pay8, pay16, rows=rows
     )  # [batch*nb*cols, rows]
     k = k_cols.reshape(batch, nb, cols, rows).transpose(0, 1, 3, 2)
     fn = functools.partial(synth_pcm, level=level, rows=rows)

@@ -220,12 +220,12 @@ class DeviceCorpus:
 
     def checksum(self) -> int:
         """Device-side reduction over all decoded PCM (forces
-        materialization; fetches only scalars). All bucket reductions are
-        dispatched before any is fetched — one round-trip of latency, not
-        one per bucket."""
-        sums = [jnp.sum(b.pcm.astype(jnp.int32), dtype=jnp.int32)
-                for b in self._buckets]
-        return sum(int(s) for s in sums) & 0xFFFFFFFF
+        materialization; fetches only scalars). All buckets reduce inside
+        one jitted program — a single host↔device round-trip."""
+        if not self._buckets:
+            return 0
+        total = _sum_all(*[b.pcm for b in self._buckets])
+        return int(total) & 0xFFFFFFFF
 
     def device_arrays(self) -> list[tuple[list[int], jax.Array]]:
         """[(file_indices, int16 pcm [B, nb, block_len])] per bucket."""
@@ -242,6 +242,11 @@ class DeviceCorpus:
             for j, e in enumerate(b.entries):
                 results[e.index] = _finalize(e, host[j].reshape(-1), block_len)
         return results  # type: ignore[return-value]
+
+
+@jax.jit
+def _sum_all(*arrs):
+    return sum(jnp.sum(a.astype(jnp.int32), dtype=jnp.int32) for a in arrs)
 
 
 def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:
@@ -286,7 +291,7 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     half = (rows + 1) // 2
     b = len(chunk)
     ncols_cap = b * nb * cols
-    cls = np.zeros((b, nb, cols), dtype=np.uint8)
+    cls = np.zeros((b, nb, (cols + 3) // 4), dtype=np.uint8)
     pwr = np.zeros((b, nb), dtype=np.uint8)
     vals = np.zeros((b, nb), dtype=np.uint16)
     pay4 = np.zeros((ncols_cap, half), dtype=np.int8)

@@ -62,7 +62,7 @@ def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,
     rows, cols = header.rows, header.cols
     half = (rows + 1) // 2
     ncols_cap = max_blocks * cols
-    cls = np.zeros((1, max_blocks, cols), dtype=np.uint8)
+    cls = np.zeros((1, max_blocks, (cols + 3) // 4), dtype=np.uint8)
     pwr = np.zeros(max_blocks, dtype=np.uint8)
     vals = np.zeros((1, max_blocks), dtype=np.uint16)
     pay4 = np.zeros((ncols_cap, half), dtype=np.int8)

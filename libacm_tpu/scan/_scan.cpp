@@ -91,6 +91,43 @@ struct BitReader {
 
   inline int64_t consumed_bits() const { return loaded_bits - avail; }
 
+  // --- fast-path primitives (corpus mode only) ---------------------------
+  // ensure() prefetches so decode loops can extract without per-read
+  // checks. It changes loaded_bits *pacing* (observable only via raw_tell,
+  // which the corpus path never reads); consumed-bit positions, values,
+  // and first-failure sites are identical to the strict reader.
+
+  inline bool ensure(int k) {  // k <= 32
+    while (avail < k) {
+      if (avail > 32) return true;  // defensive: res must fit 64 bits
+      int take = static_cast<int>(
+          std::min<int64_t>(32, total_bits - loaded_bits));
+      if (take <= 0) return false;
+      int64_t start = loaded_bits >> 3;
+      uint32_t word = 0;
+      if (take == 32 && start + 4 <= len) {
+        std::memcpy(&word, data + start, 4);
+      } else {
+        for (int i = 0; i < take / 8; i++) {
+          int64_t pos = start + i;
+          uint32_t byte = pos < len ? data[pos] : 0;
+          word |= byte << (8 * i);
+        }
+      }
+      res |= static_cast<uint64_t>(word) << avail;
+      loaded_bits += take;
+      avail += take;
+    }
+    return true;
+  }
+
+  inline uint32_t getu(int n) {  // unchecked: caller guaranteed avail >= n
+    uint32_t v = static_cast<uint32_t>(res) & ((1u << n) - 1);
+    res >>= n;
+    avail -= n;
+    return v;
+  }
+
   // O(1) exact state reconstruction at an arbitrary consumed-bit count.
   // At any point with B bits consumed, loaded_bits is uniquely
   // min(ceil(B/32)*32, total_bits) (reloads are 32-bit, on demand, and
@@ -296,12 +333,260 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col) {
   }
 }
 
+// Fast-path column decode (corpus mode): per outer iteration one ensure()
+// prefetch, then unchecked extraction while the reservoir lasts; near the
+// stream tail it degrades to the checked get() (identical semantics).
+// Bit-for-bit the same values/failure sites as decode_column.
+int decode_column_fast(BitReader& b, int ind, int rows, int16_t* col) {
+  if (ind == 0) return 0;
+  if (ind >= 3 && ind <= 16) {  // f_linear
+    int middle = 1 << (ind - 1);
+    int i = 0;
+    while (i < rows) {
+      if (b.ensure(32)) {
+        int nfit = b.avail / ind;
+        int stop = i + nfit < rows ? i + nfit : rows;
+        for (; i < stop; i++) {
+          col[i] = static_cast<int16_t>(static_cast<int>(b.getu(ind)) - middle);
+        }
+      } else {
+        uint32_t v = b.get(ind);
+        if (b.fail) return ERR_UNEXPECTED_EOF;
+        col[i++] = static_cast<int16_t>(static_cast<int>(v) - middle);
+      }
+    }
+    return 0;
+  }
+  // map/zero-run/packed fillers: worst case 5 bits per step
+  int i = 0;
+  while (i < rows) {
+    if (!b.ensure(32) || b.avail < 8) {
+      // stream tail: checked single step via the strict path
+      int16_t tmp[1] = {0};
+      // decode exactly one step with checked reads by running the
+      // shared per-step logic below with checked getters
+      switch (ind) {
+        case 17: {
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          { uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_1BIT[x]; i += 1; }
+          break;
+        }
+        case 18: {
+          uint32_t h = b.get(1);
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (h) { uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
+                   col[i] = MAP_1BIT[x]; }
+          i += 1;
+          break;
+        }
+        case 19: {
+          uint32_t v = b.get(5);
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (v >= 27) return ERR_CORRUPT;
+          int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
+                          static_cast<int16_t>((v / 3) % 3 - 1),
+                          static_cast<int16_t>(v / 9 - 1)};
+          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
+          break;
+        }
+        case 20: {
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          { uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_2BIT_NEAR[x]; i += 1; }
+          break;
+        }
+        case 21: {
+          uint32_t h = b.get(1);
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (h) { uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
+                   col[i] = MAP_2BIT_NEAR[x]; }
+          i += 1;
+          break;
+        }
+        case 22: {
+          uint32_t v = b.get(7);
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (v >= 125) return ERR_CORRUPT;
+          int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
+                          static_cast<int16_t>((v / 5) % 5 - 2),
+                          static_cast<int16_t>(v / 25 - 2)};
+          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
+          break;
+        }
+        case 23: {
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (b.get(1) == 0) {
+            if (b.fail) return ERR_UNEXPECTED_EOF;
+            uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_1BIT[x];
+          } else {
+            if (b.fail) return ERR_UNEXPECTED_EOF;
+            uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_2BIT_FAR[x];
+          }
+          i += 1;
+          break;
+        }
+        case 24: {
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (b.get(1) == 0) {
+            if (b.fail) return ERR_UNEXPECTED_EOF;
+            uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_1BIT[x];
+          } else {
+            if (b.fail) return ERR_UNEXPECTED_EOF;
+            uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_2BIT_FAR[x];
+          }
+          i += 1;
+          break;
+        }
+        case 26: {
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          { uint32_t x = b.get(3); if (b.fail) return ERR_UNEXPECTED_EOF;
+            col[i] = MAP_3BIT[x]; i += 1; }
+          break;
+        }
+        case 27: {
+          uint32_t h = b.get(1);
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (h) { uint32_t x = b.get(3); if (b.fail) return ERR_UNEXPECTED_EOF;
+                   col[i] = MAP_3BIT[x]; }
+          i += 1;
+          break;
+        }
+        case 29: {
+          uint32_t v = b.get(7);
+          if (b.fail) return ERR_UNEXPECTED_EOF;
+          if (v >= 121) return ERR_CORRUPT;
+          int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
+                          static_cast<int16_t>(v / 11 - 5)};
+          for (int j = 0; j < 2 && i < rows; j++, i++) col[i] = t[j];
+          break;
+        }
+        default:
+          return ERR_CORRUPT;
+      }
+      (void)tmp;
+      continue;
+    }
+    // unchecked micro-batch: every step below consumes <= 7 bits
+    switch (ind) {
+      case 17:
+        while (i < rows && b.avail >= 3) {
+          if (b.getu(1) == 0) { i += 2; continue; }
+          if (b.getu(1) == 0) { i += 1; continue; }
+          col[i] = MAP_1BIT[b.getu(1)];
+          i += 1;
+        }
+        break;
+      case 18:
+        while (i < rows && b.avail >= 2) {
+          if (b.getu(1)) col[i] = MAP_1BIT[b.getu(1)];
+          i += 1;
+        }
+        break;
+      case 19:
+        while (i < rows && b.avail >= 5) {
+          uint32_t v = b.getu(5);
+          if (v >= 27) return ERR_CORRUPT;
+          int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
+                          static_cast<int16_t>((v / 3) % 3 - 1),
+                          static_cast<int16_t>(v / 9 - 1)};
+          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
+        }
+        break;
+      case 20:
+        while (i < rows && b.avail >= 4) {
+          if (b.getu(1) == 0) { i += 2; continue; }
+          if (b.getu(1) == 0) { i += 1; continue; }
+          col[i] = MAP_2BIT_NEAR[b.getu(2)];
+          i += 1;
+        }
+        break;
+      case 21:
+        while (i < rows && b.avail >= 3) {
+          if (b.getu(1)) col[i] = MAP_2BIT_NEAR[b.getu(2)];
+          i += 1;
+        }
+        break;
+      case 22:
+        while (i < rows && b.avail >= 7) {
+          uint32_t v = b.getu(7);
+          if (v >= 125) return ERR_CORRUPT;
+          int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
+                          static_cast<int16_t>((v / 5) % 5 - 2),
+                          static_cast<int16_t>(v / 25 - 2)};
+          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
+        }
+        break;
+      case 23:
+        while (i < rows && b.avail >= 5) {
+          if (b.getu(1) == 0) { i += 2; continue; }
+          if (b.getu(1) == 0) { i += 1; continue; }
+          if (b.getu(1) == 0) col[i] = MAP_1BIT[b.getu(1)];
+          else col[i] = MAP_2BIT_FAR[b.getu(2)];
+          i += 1;
+        }
+        break;
+      case 24:
+        while (i < rows && b.avail >= 4) {
+          if (b.getu(1) == 0) { i += 1; continue; }
+          if (b.getu(1) == 0) col[i] = MAP_1BIT[b.getu(1)];
+          else col[i] = MAP_2BIT_FAR[b.getu(2)];
+          i += 1;
+        }
+        break;
+      case 26:
+        while (i < rows && b.avail >= 5) {
+          if (b.getu(1) == 0) { i += 2; continue; }
+          if (b.getu(1) == 0) { i += 1; continue; }
+          col[i] = MAP_3BIT[b.getu(3)];
+          i += 1;
+        }
+        break;
+      case 27:
+        while (i < rows && b.avail >= 4) {
+          if (b.getu(1)) col[i] = MAP_3BIT[b.getu(3)];
+          i += 1;
+        }
+        break;
+      case 29:
+        while (i < rows && b.avail >= 7) {
+          uint32_t v = b.getu(7);
+          if (v >= 121) return ERR_CORRUPT;
+          int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
+                          static_cast<int16_t>(v / 11 - 5)};
+          for (int j = 0; j < 2 && i < rows; j++, i++) col[i] = t[j];
+        }
+        break;
+      default:
+        return ERR_CORRUPT;
+    }
+  }
+  return 0;
+}
+
 // Shared scan driver, parameterized by an emitter:
 //   void begin_block();                 -- checkpoint (for rollback)
 //   void emit_column(int c, const int16_t* col);
 //   void commit_block(uint32_t pwr, uint32_t val);
 //   void rollback_block();
-template <typename Emitter>
+template <typename Emitter, bool FAST = false>
 int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                     int32_t /*level*/, int32_t rows, int32_t cols,
                     int64_t max_blocks, int64_t max_events,
@@ -337,7 +622,9 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
         break;
       }
       std::memset(col_tmp, 0, rows * sizeof(int16_t));
-      outcome = decode_column(b, static_cast<int>(ind), rows, col_tmp);
+      outcome = FAST ? decode_column_fast(b, static_cast<int>(ind), rows,
+                                          col_tmp)
+                     : decode_column(b, static_cast<int>(ind), rows, col_tmp);
       if (outcome != 0) break;
       em.emit_column(c, col_tmp);
     }
@@ -389,11 +676,13 @@ struct DenseEmitter {
   void rollback_block() {}
 };
 
-// Packed wire format: per column a class code {0:zero, 1:4-bit, 2:8-bit,
-// 3:16-bit} chosen from the observed range; payloads are column-contiguous
-// (4-bit: two rows per byte, odd row padded with a zero nibble).
+// Packed wire format: per column a 2-bit class code {0:zero, 1:4-bit,
+// 2:8-bit, 3:16-bit} chosen from the observed range (four codes per byte,
+// LSB pair first, (cols+3)/4 bytes per block); payloads are
+// column-contiguous (4-bit: two rows per byte, odd row padded with a zero
+// nibble).
 struct PackedEmitter {
-  uint8_t* cls_out;      // [max_blocks * cols]
+  uint8_t* cls_out;      // [max_blocks * ceil(cols/4)] 2-bit packed
   int8_t* pay4;          // nibble stream, ceil(rows/2) bytes per column
   int8_t* pay8;          // rows bytes per column
   int16_t* pay16;        // rows int16 per column
@@ -404,8 +693,11 @@ struct PackedEmitter {
   int64_t n4 = 0, n8 = 0, n16 = 0;       // columns per class
   int64_t s4 = 0, s8 = 0, s16 = 0;       // block-start snapshots
 
+  int cls_stride() const { return (cols + 3) / 4; }
+
   void begin_block() {
     s4 = n4; s8 = n8; s16 = n16;
+    std::memset(cls_out + nb * cls_stride(), 0, cls_stride());
   }
   void emit_column(int c, const int16_t* col) {
     int16_t mn = 0, mx = 0;
@@ -435,7 +727,8 @@ struct PackedEmitter {
       std::memcpy(pay16 + n16 * rows, col, rows * sizeof(int16_t));
       n16++;
     }
-    cls_out[nb * cols + c] = code;
+    cls_out[nb * cls_stride() + (c >> 2)] |=
+        code << ((c & 3) * 2);
   }
   void commit_block(uint32_t pwr, uint32_t val) {
     pwr_out[nb] = static_cast<uint8_t>(pwr);
@@ -447,7 +740,7 @@ struct PackedEmitter {
     // the failed attempt may have written class codes for its early
     // columns; zero them so downstream cumsum positions stay aligned
     // with the rolled-back payload streams
-    std::memset(cls_out + nb * cols, 0, cols);
+    std::memset(cls_out + nb * cls_stride(), 0, cls_stride());
   }
 };
 
@@ -528,10 +821,10 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
   em.s4 = off4;
   em.s8 = off8;
   em.s16 = off16;
-  int64_t rc = scan_driver(data, nbytes, skip_bits, level, rows, cols,
-                           max_blocks, max_events, events_scratch,
-                           tell_scratch, meta, col_tmp, em,
-                           /*stop_on_error=*/true, bitpos_out);
+  int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
+      data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
+      events_scratch, tell_scratch, meta, col_tmp, em,
+      /*stop_on_error=*/true, bitpos_out);
   meta[5] = em.n4;
   meta[6] = em.n8;
   meta[7] = em.n16;

@@ -199,6 +199,13 @@ class PackedScan:
                 + self.pay16.nbytes + self.val.nbytes)
 
 
+def unpack_cls(packed: np.ndarray, cols: int) -> np.ndarray:
+    """2-bit-packed class map [..., ceil(cols/4)] → uint8 codes [..., cols]."""
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    codes = (packed[..., :, None] >> shifts) & 3
+    return codes.reshape(packed.shape[:-1] + (4 * packed.shape[-1],))[..., :cols]
+
+
 class CorpusScanBuffers:
     """Reusable scratch for scan_corpus_into (events/tell/col/meta)."""
 
@@ -263,7 +270,7 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     half = (rows + 1) // 2
     ncols_cap = max_blocks * cols
 
-    cls = np.zeros((max_blocks, cols), dtype=np.uint8)
+    cls = np.zeros((max_blocks, (cols + 3) // 4), dtype=np.uint8)
     pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
     pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
     pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
@@ -291,7 +298,7 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     return PackedScan(
         header=header,
         n_blocks=n_blocks,
-        cls=cls[:n_blocks],
+        cls=unpack_cls(cls[:n_blocks], cols),
         pay4=pay4[:n4].copy(),
         pay8=pay8[:n8].copy(),
         pay16=pay16[:n16].copy(),

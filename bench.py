@@ -30,14 +30,16 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 # Corpus: audio-realistic content mirroring BASELINE.json's configs —
-# mostly 22 kHz mono Fallout-style speech (sparse high bands) plus denser
-# 44.1 kHz stereo Baldur's-Gate-style music. Level 7 / rows 16 = the classic
-# 2048-word block geometry.
+# mostly 22 kHz mono Fallout-style speech (sparse high bands, ~16 kbps:
+# the reference's own typical-file anchor is 13 kbps, util.c:161-162)
+# plus denser 44.1 kHz stereo Baldur's-Gate-style music. Level 7 /
+# rows 16 = the classic 2048-word block geometry. Encoded with the
+# cheapest covering filler per column, like real encoders.
 N_SPEECH, N_MUSIC = 64, 16
 LEVEL, ROWS, NBLOCKS = 7, 16, 300
 RATE = 22050
 CORPUS_DIR = pathlib.Path(
-    f"/tmp/libacm_tpu_bench_v2_{N_SPEECH}+{N_MUSIC}x{NBLOCKS}"
+    f"/tmp/libacm_tpu_bench_v3_{N_SPEECH}+{N_MUSIC}x{NBLOCKS}"
 )
 REF_SRC = pathlib.Path("/root/reference/src")
 REF_BIN = pathlib.Path("/tmp/refbuild/src/acmtool")
@@ -66,8 +68,8 @@ def ensure_corpus() -> list[pathlib.Path]:
                 rng, level=LEVEL, rows=ROWS, n_blocks=NBLOCKS,
                 channels=2 if music else 1,
                 rate=44100 if music else RATE,
-                base_pwr=8 if music else 6,
-                decay_cols=24.0 if music else 8.0,
+                base_pwr=8 if music else 5,
+                decay_cols=24.0 if music else 4.0,
             )
         )
     return files

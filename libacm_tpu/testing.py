@@ -192,6 +192,34 @@ def encode_column(w: BitWriter, ks, filler: int) -> None:
         _ENCODERS[filler][0](w, ks)
 
 
+def choose_filler_best(ks) -> int:
+    """Pick the cheapest filler for `ks` (bit-exact trial encodes).
+
+    Real-world ACM files are near-entropy-coded (the 13 kbps anchor,
+    reference util.c:161-162); fixtures made with the randomized
+    choose_filler are several times larger. Corpus generators use this.
+    """
+    lo, hi = int(np.min(ks)), int(np.max(ks))
+    if lo == 0 and hi == 0:
+        return 0
+    cands = [f for f, (_, (flo, fhi)) in _ENCODERS.items()
+             if f != 0 and flo <= lo and hi <= fhi]
+    for ind in range(3, 17):
+        if -(1 << (ind - 1)) <= lo and hi <= (1 << (ind - 1)) - 1:
+            cands.append(ind)
+            break
+    best, best_bits = None, None
+    for f in cands:
+        w = BitWriter()
+        encode_column(w, ks, f)
+        bits = len(w._out) * 8 + w._nbits
+        if best_bits is None or bits < best_bits:
+            best, best_bits = f, bits
+    if best is None:
+        raise ValueError(f"coefficients out of range: [{lo}, {hi}]")
+    return best
+
+
 def choose_filler(ks, rng: np.random.Generator | None = None) -> int:
     """Pick a filler that can represent `ks` (randomized among candidates)."""
     lo, hi = int(np.min(ks)), int(np.max(ks))
@@ -358,12 +386,17 @@ def speech_acm_bytes(
     decay_cols: float = 8.0,
     wavc: bool = False,
 ) -> bytes:
-    """One-call audio-realistic fixture stream (see speech_blocks)."""
+    """One-call audio-realistic fixture stream (see speech_blocks).
+
+    Uses the cheapest covering filler per column, like real encoders —
+    the randomized chooser (fixture coverage) inflates bitrates ~3x.
+    """
     blocks = speech_blocks(rng, level, rows, n_blocks, base_pwr=base_pwr,
                            decay_cols=decay_cols)
+    for b in blocks:
+        b.fillers = [choose_filler_best(b.k[:, c]) for c in range(b.k.shape[1])]
     data = encode_acm(blocks, n_blocks * rows * (1 << level),
-                      channels=channels, rate=rate, level=level, rows=rows,
-                      rng=rng)
+                      channels=channels, rate=rate, level=level, rows=rows)
     return wavc_wrap(data) if wavc else data
 
 

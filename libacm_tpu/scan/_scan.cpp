@@ -621,6 +621,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
         clean_eof = true;  // EOF at a column code is a clean stream end
         break;
       }
+      if (ind == 0) continue;  // f_zero: emitters treat absent as zero
       std::memset(col_tmp, 0, rows * sizeof(int16_t));
       outcome = FAST ? decode_column_fast(b, static_cast<int>(ind), rows,
                                           col_tmp)

@@ -54,7 +54,6 @@ from ..format import (
     ACM_ID,
     ACMInfo,
     AcmError,
-    ACMInfo as _ACMInfo,  # noqa: F401  (re-export convenience)
     AcmHeader,
     resolve_channels,
 )

@@ -24,7 +24,7 @@ int64_t acm_scan_corpus_into(const uint8_t*, int64_t, int64_t, int32_t,
                              int32_t, int64_t, uint8_t*, int8_t*, int8_t*,
                              int16_t*, int64_t, int64_t, int64_t, uint8_t*,
                              uint16_t*, int16_t*, int64_t*, int64_t,
-                             int16_t*, int64_t*);
+                             int16_t*, int64_t*, int64_t*);
 }
 
 int main(int argc, char** argv) {
@@ -65,10 +65,11 @@ int main(int argc, char** argv) {
                          cls.data(), p4.data(), p8.data(), p16.data(),
                          pwr.data(), val.data(), ev.data(), tell.data(),
                          col.data(), meta.data());
+  std::vector<int64_t> bitpos(maxb);
   acm_scan_corpus_into(data.data(), n, skip, level, rows, maxb, cls.data(),
                        p4.data(), p8.data(), p16.data(), 0, 0, 0, pwr.data(),
                        val.data(), ev.data(), tell.data(), maxev, col.data(),
-                       meta.data());
+                       meta.data(), bitpos.data());
   std::printf("ok %lld blocks\n", static_cast<long long>(meta[0]));
   return 0;
 }

@@ -180,6 +180,78 @@ def _cg_fit(t: np.ndarray, level: int, rows: int, lam: float, iters: int,
     return x
 
 
+def _analyze_ridge_jax(t_lo: np.ndarray, level: int, rows: int,
+                       lam: float, iters: int, outer: int) -> np.ndarray:
+    """TPU/accelerator path of analyze_ridge's box-projected CG.
+
+    The forward/adjoint cascades are pure shifted adds — exactly the shape
+    XLA fuses well — so long-stream encodes run on device. float32 is
+    sufficient: the fit residual target is the 2^level low-bit box, far
+    above float32 noise for in-range audio.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cols = 1 << level
+
+    def fwd(x):
+        for p in range(level):
+            sub_len = cols >> (p + 1)
+            cnt = rows << (p + 1)
+            m = x.reshape(cnt, sub_len)
+            s1 = jnp.concatenate([jnp.zeros((1, sub_len)), m[:-1]], axis=0)
+            s2 = jnp.concatenate([jnp.zeros((2, sub_len)), m[:-2]], axis=0)
+            sgn = jnp.where((jnp.arange(cnt) % 2 == 0), 1.0, -1.0)[:, None]
+            x = (sgn * (m + s2) + 2 * s1).reshape(-1)
+        return x
+
+    def adj(y):
+        for p in reversed(range(level)):
+            sub_len = cols >> (p + 1)
+            cnt = rows << (p + 1)
+            m = y.reshape(cnt, sub_len)
+            d1 = jnp.concatenate([m[1:], jnp.zeros((1, sub_len))], axis=0)
+            d2 = jnp.concatenate([m[2:], jnp.zeros((2, sub_len))], axis=0)
+            sgn = jnp.where((jnp.arange(cnt) % 2 == 0), 1.0, -1.0)[:, None]
+            y = (sgn * (m + d2) + 2 * d1).reshape(-1)
+        return y
+
+    @jax.jit
+    def solve(t_lo):
+        t_hi = t_lo + (2.0**level - 1.0)
+        t0 = t_lo + 2.0**level / 2.0
+
+        def cg(t, x):
+            r = adj(t - fwd(x)) - lam * x
+            p = r
+            rs = r @ r
+
+            def body(_, carry):
+                x, r, p, rs = carry
+                ap = adj(fwd(p)) + lam * p
+                alpha = rs / (p @ ap)
+                x = x + alpha * p
+                r = r - alpha * ap
+                rs_new = r @ r
+                p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+                return (x, r, p, rs_new)
+
+            x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+            return x
+
+        def outer_body(_, carry):
+            x, t = carry
+            x = cg(t, x)
+            t = jnp.clip(fwd(x), t_lo, t_hi)
+            return (x, t)
+
+        x = jnp.zeros_like(t_lo)
+        x, _ = jax.lax.fori_loop(0, max(1, outer), outer_body, (x, t0))
+        return x
+
+    return np.asarray(jax.device_get(solve(t_lo.astype(np.float32)))).astype(np.float64)
+
+
 def analyze_ridge(
     target_words: np.ndarray,
     level: int,
@@ -188,6 +260,7 @@ def analyze_ridge(
     lam: float = 1e-6,
     iters: int = 96,
     outer: int = 4,
+    backend: str = "numpy",
 ) -> np.ndarray:
     """Free-low-bit ridge analysis of one block.
 
@@ -200,6 +273,8 @@ def analyze_ridge(
     t_lo = target_words.astype(np.float64) - _offset(level, rows, wrap)
     if level == 0:
         return t_lo
+    if backend == "jax":
+        return _analyze_ridge_jax(t_lo, level, rows, lam, iters, outer)
     t_hi = t_lo + ((1 << level) - 1)
     t = t_lo + (1 << level) / 2.0
     x = None
@@ -289,6 +364,7 @@ def encode_pcm(
     rate: int = 22050,
     pwr: int = 10,
     wavc: bool = False,
+    backend: str = "numpy",
 ) -> EncodeResult:
     """Encode int16 interleaved PCM into an ACM/WAVC stream.
 
@@ -328,7 +404,8 @@ def encode_pcm(
     rows_total = nb * rows
     words_all = padded.astype(np.int64) << level
     zero_wrap = np.zeros(max(2 * cols - 2, 1), dtype=_I32)
-    x_glob = analyze_ridge(words_all, level, rows_total, zero_wrap)
+    x_glob = analyze_ridge(words_all, level, rows_total, zero_wrap,
+                           backend=backend)
 
     # quantize and serialize per block; re-synthesize the quantized stream
     # with the real integer decoder to report the true output error

@@ -116,6 +116,18 @@ def test_partial_final_block_and_stream_api():
     assert _snr(pcm, got) > 30.0
 
 
+def test_jax_backend_matches_numpy():
+    data = _quiet_speech_bytes(11, nb=3)
+    _, pcm, _ = oracle.decode_bytes(data)
+    a = encode.encode_pcm(pcm, level=7, rows=16, pwr=13, backend="numpy")
+    b = encode.encode_pcm(pcm, level=7, rows=16, pwr=13, backend="jax")
+    _, ga, _ = oracle.decode_bytes(a.data)
+    _, gb, _ = oracle.decode_bytes(b.data)
+    # float32 vs float64 CG may differ in the last quantization bin;
+    # both must hit the same quality class
+    assert _snr(pcm, ga) > 50 and _snr(pcm, gb) > 50
+
+
 def test_optimize_acm_lossless_and_smaller():
     rng = np.random.default_rng(7)
     from libacm_tpu import testing

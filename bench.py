@@ -39,7 +39,7 @@ N_SPEECH, N_MUSIC = 64, 16
 LEVEL, ROWS, NBLOCKS = 7, 16, 300
 RATE = 22050
 CORPUS_DIR = pathlib.Path(
-    f"/tmp/libacm_tpu_bench_v3_{N_SPEECH}+{N_MUSIC}x{NBLOCKS}"
+    f"/tmp/libacm_tpu_bench_v4_{N_SPEECH}+{N_MUSIC}x{NBLOCKS}"
 )
 REF_SRC = pathlib.Path("/root/reference/src")
 REF_BIN = pathlib.Path("/tmp/refbuild/src/acmtool")
@@ -58,10 +58,10 @@ def ensure_corpus() -> list[pathlib.Path]:
 
     log(f"synthesizing corpus into {CORPUS_DIR} (one-time)...")
     CORPUS_DIR.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(2026)
-    for f in files:
+    for i, f in enumerate(files):
         if f.exists():
             continue
+        rng = np.random.default_rng(2026 + i)  # per-file: resumable gen
         music = f.name.startswith("music")
         f.write_bytes(
             testing.speech_acm_bytes(

@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence, Union
@@ -277,13 +278,13 @@ def _n_good(events: np.ndarray) -> tuple[int, int]:
     return ng, 0
 
 
-_SCAN_BUFS = None
+_SCAN_TLS = threading.local()
 
 
 def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     """Host half of the cols-wire path: one zero-copy native scan per file,
-    writing straight into the chunk's wire buffers (no assembly copies)."""
-    global _SCAN_BUFS
+    writing straight into the chunk's wire buffers (no assembly copies).
+    Scratch buffers are thread-local (decode_corpus may run concurrently)."""
     from ..scan import native as _native
 
     cols = 1 << level
@@ -298,16 +299,16 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
 
     max_bytes = max(len(e.data) for e in chunk)
-    if _SCAN_BUFS is None or not _SCAN_BUFS.fits(max_bytes):
-        _SCAN_BUFS = _native.CorpusScanBuffers(
-            max_file_bytes=max(1 << 22, max_bytes)
-        )
+    bufs = getattr(_SCAN_TLS, "bufs", None)
+    if bufs is None or not bufs.fits(max_bytes):
+        bufs = _native.CorpusScanBuffers(max_file_bytes=max(1 << 22, max_bytes))
+        _SCAN_TLS.bufs = bufs
 
     o4 = o8 = o16 = 0
     for j, e in enumerate(chunk):
         ng, err, o4, o8, o16 = _native.scan_corpus_into(
             e.data, e.header, cls[j], pwr[j], vals[j],
-            pay4, pay8, pay16, o4, o8, o16, _SCAN_BUFS,
+            pay4, pay8, pay16, o4, o8, o16, bufs,
         )
         e.n_good, e.first_err = ng, err
 

@@ -20,6 +20,7 @@ rows == 1 streams fall back to decoding the prefix [0, b).
 from __future__ import annotations
 
 import dataclasses
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -46,14 +47,15 @@ class BlockIndex:
         return self.n_good * self.header.block_len
 
 
-_BUFS: native.CorpusScanBuffers | None = None
+_TLS = threading.local()
 
 
 def _bufs(nbytes: int) -> native.CorpusScanBuffers:
-    global _BUFS
-    if _BUFS is None or not _BUFS.fits(nbytes):
-        _BUFS = native.CorpusScanBuffers(max_file_bytes=max(1 << 22, nbytes))
-    return _BUFS
+    bufs = getattr(_TLS, "bufs", None)
+    if bufs is None or not bufs.fits(nbytes):
+        bufs = native.CorpusScanBuffers(max_file_bytes=max(1 << 22, nbytes))
+        _TLS.bufs = bufs
+    return bufs
 
 
 def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,

@@ -160,6 +160,25 @@ def play_file(fn: str, cf: _Config) -> None:
     acm.close()
 
 
+def encode_file(fn: str, fn2: str, cf: _Config) -> None:
+    """acmtool -e (extension; the reference tool is decode-only):
+    WAV (PCM16) → ACM via the global ridge analysis encoder."""
+    from . import encode as acmenc
+
+    try:
+        channels, rate, pcm = acmio.read_wav(open(fn, "rb").read())
+    except (OSError, ValueError) as e:
+        print(f"{fn}: {e}", file=sys.stderr)
+        return
+    res = acmenc.encode_pcm(pcm, channels=channels, rate=rate, pwr=13)
+    with open(fn2, "wb") as fo:
+        fo.write(res.data)
+    if not cf.quiet:
+        ratio = pcm.nbytes / max(len(res.data), 1)
+        print(f"{fn}: {len(pcm)//channels} samples -> {len(res.data)} bytes "
+              f"({ratio:.1f}x), max_error {res.max_error}")
+
+
 def usage(err: int) -> "SystemExit":
     print(VERSION_LINE)
     print("Play:   acmtool -p [-q][-m|-s] acmfile [acmfile ...]")
@@ -167,12 +186,14 @@ def usage(err: int) -> "SystemExit":
     print("        acmtool -d [-q][-m|-s] [-r|-n] acmfile [acmfile ...]")
     print("Other:  acmtool -i acmfile [acmfile ...]")
     print("        acmtool -M|-S acmfile [acmfile ...]")
+    print("        acmtool -e [-o acmfile] wavfile [wavfile ...]")
     print("Commands:")
     print("  -p     play file(s)")
     print("  -d     decode audio into WAV files")
     print("  -i     show info about ACM files")
     print("  -M     modify ACM header to have 1 channel")
     print("  -S     modify ACM header to have 2 channels")
+    print("  -e     encode WAV (PCM16) into ACM files")
     print("Switches:")
     print("  -m     force mono")
     print("  -s     force stereo")
@@ -186,12 +207,12 @@ def usage(err: int) -> "SystemExit":
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     cf = _Config()
-    cmd_decode = cmd_info = cmd_play = cmd_chg = False
+    cmd_decode = cmd_info = cmd_play = cmd_chg = cmd_enc = False
     set_chans = 0
     fn2 = None
 
     try:
-        opts, args = getopt.getopt(argv, "pdiMSqhrmsnvo:")
+        opts, args = getopt.getopt(argv, "pdieMSqhrmsnvo:")
     except getopt.GetoptError as e:
         print(f"bad arg: -{e.opt}", file=sys.stderr)
         raise usage(1)
@@ -205,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
             cmd_info = True
         elif flag == "-p":
             cmd_play = True
+        elif flag == "-e":
+            cmd_enc = True
         elif flag == "-M":
             cmd_chg, set_chans = True, 1
         elif flag == "-S":
@@ -225,9 +248,21 @@ def main(argv: list[str] | None = None) -> int:
             print(VERSION_LINE)
             return 0
 
-    if sum([cmd_decode, cmd_info, cmd_play, cmd_chg]) != 1:
+    if sum([cmd_decode, cmd_info, cmd_play, cmd_chg, cmd_enc]) != 1:
         print("only one command at a time please", file=sys.stderr)
         raise usage(1)
+
+    if cmd_enc:
+        if not args:
+            raise usage(1)
+        if fn2 is not None:
+            if len(args) != 1:
+                raise usage(1)
+            encode_file(args[0], fn2, cf)
+        else:
+            for fn in args:
+                encode_file(fn, _makefn(fn, ".acm"), cf)
+        return 0
 
     if cmd_play:
         for fn in args:

@@ -111,6 +111,36 @@ def wav_header(pcm_total: int, channels: int, rate: int) -> bytes:
     )
 
 
+def read_wav(data: bytes) -> tuple[int, int, "object"]:
+    """Minimal RIFF/WAVE reader for the encoder: (channels, rate, int16 pcm).
+
+    Accepts canonical PCM16 files (like the ones acmtool -d writes);
+    rejects other formats with ValueError.
+    """
+    import numpy as np
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV is supported")
+            fmt = (channels, rate)
+        elif cid == b"data":
+            pcm = np.frombuffer(body[: size - (size % 2)], dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return fmt[0], fmt[1], pcm
+
+
 # ---------------------------------------------------------------------------
 # In-place channel retag (acmtool -M/-S; acmtool.c:322-362)
 # ---------------------------------------------------------------------------

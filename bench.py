@@ -35,7 +35,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 # plus denser 44.1 kHz stereo Baldur's-Gate-style music. Level 7 /
 # rows 16 = the classic 2048-word block geometry. Encoded with the
 # cheapest covering filler per column, like real encoders.
-N_SPEECH, N_MUSIC = 64, 16
+N_SPEECH, N_MUSIC = 160, 40
 LEVEL, ROWS, NBLOCKS = 7, 16, 300
 RATE = 22050
 CORPUS_DIR = pathlib.Path(

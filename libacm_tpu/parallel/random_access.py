@@ -89,6 +89,46 @@ def build_index(data: bytes) -> BlockIndex:
                       first_err=err)
 
 
+class RandomAccessCorpus:
+    """Random access over a corpus of files (indexes built lazily, cached).
+
+    The corpus-scale counterpart of acm_seek_pcm (BASELINE config 5):
+    `read(i, start_pcm, n_pcm)` returns per-channel-frame PCM from file i
+    in O(segment), after a one-time index scan of that file.
+    """
+
+    def __init__(self, sources, force_chans: int = 0):
+        from .corpus import _read_source  # shared byte loader
+
+        self._sources = list(sources)
+        self._read_source = _read_source
+        self._force_chans = force_chans
+        self._cache: dict[int, tuple[bytes, BlockIndex, int]] = {}
+
+    def _entry(self, i: int):
+        hit = self._cache.get(i)
+        if hit is None:
+            from ..format import resolve_channels
+
+            data = self._read_source(self._sources[i])
+            idx = build_index(data)
+            ch = resolve_channels(idx.header.channels, idx.header.wavc_file,
+                                  self._force_chans)
+            hit = (data, idx, ch)
+            self._cache[i] = hit
+        return hit
+
+    def pcm_total(self, i: int) -> int:
+        data, idx, ch = self._entry(i)
+        return idx.header.total_values // ch
+
+    def read(self, i: int, start_pcm: int, n_pcm: int) -> np.ndarray:
+        """int16 [n, channels] frames from file i (clamped at stream end)."""
+        data, idx, ch = self._entry(i)
+        words = read_segment(data, idx, start_pcm * ch, n_pcm * ch)
+        return words[: len(words) - len(words) % ch].reshape(-1, ch)
+
+
 def read_segment(data: bytes, index: BlockIndex, start_word: int,
                  n_words: int) -> np.ndarray:
     """Decode int16 words [start_word, start_word + n_words) in O(segment).

@@ -72,3 +72,27 @@ def test_index_bit_offsets_are_exact_resume_points():
         got = read_segment(data, idx, a * h.block_len, h.block_len)
         np.testing.assert_array_equal(
             got, want[a * h.block_len : (a + 1) * h.block_len])
+
+
+def test_random_access_corpus_wrapper(tmp_path):
+    from libacm_tpu.parallel.random_access import RandomAccessCorpus
+
+    rng = np.random.default_rng(12)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.acm"
+        p.write_bytes(testing.random_acm_bytes(
+            rng, level=4, rows=16, n_blocks=4,
+            channels=2 if i == 1 else 1))
+        paths.append(str(p))
+    rac = RandomAccessCorpus(paths)
+    for i, p in enumerate(paths):
+        h, want = _full(open(p, "rb").read())
+        ch = 2 if i == 1 else 1
+        got = rac.read(i, 10, 50)
+        np.testing.assert_array_equal(
+            got.reshape(-1), want[10 * ch : 10 * ch + 50 * ch])
+        assert rac.pcm_total(i) == h.total_values // ch
+    # reads past the end clamp to whole frames
+    tail = rac.read(1, rac.pcm_total(1) - 5, 100)
+    assert tail.shape == (5, 2)

@@ -27,10 +27,12 @@ north-star use of corpus decode is dataset ingest for TPU jobs, where
 copying PCM back to the host would be pure waste. `decode_corpus` fetches
 to host and returns per-file results.
 
-Per-file error/EOF semantics mirror the reference *CLI* consumer
-(`acmtool.c:269-310`): decoding stops at the first failed decode attempt,
-the PCM produced before it is kept, and `filler_words` reports how many
-zero words the CLI would append to reach the declared length.
+Per-file error/EOF semantics mirror the reference *CLI* consumer exactly
+(`acmtool.c:269-310`): decode errors are swallowed whenever the 8 KiB
+read chunk already holds data (acm_read_loop's partial-data-wins rule,
+util.c:271-272) and fatal only at chunk boundaries — see cli_stop_words.
+`filler_words` reports how many zero words the CLI would append to reach
+the declared length.
 """
 
 from __future__ import annotations
@@ -82,6 +84,60 @@ class FileResult:
     @property
     def ok(self) -> bool:
         return self.status == 0
+
+
+def cli_stop_words(events: np.ndarray, block_len: int, total: int,
+                   channels: int, req_words: int = 4096) -> int:
+    """Words `acmtool -d` would emit for a stream with these decode events.
+
+    The reference CLI reads 8 KiB (4096-word) chunks via acm_read_loop
+    (acmtool.c:269-291) whose partial-data-wins rule (util.c:271-272)
+    SWALLOWS a decode error whenever any data was already read in that
+    call — decoding then continues with the next block. An error stops the
+    CLI only when it surfaces at a chunk boundary. This simulates the exact
+    acm_read call-by-call arithmetic (decode.c:826-876) over the scan's
+    event list: returns the emitted word count (error-truncated, channel-
+    clamped, total-clamped).
+    """
+    pos = 0
+    bpos = 0
+    ready = False
+    ei = 0
+    while True:
+        got = 0
+        err = False
+        left = req_words
+        while left > 0:
+            # --- one acm_read(left words) ---
+            if pos >= total:
+                break  # EOF, res=0
+            if not ready:
+                if ei >= len(events):
+                    break  # clean EOF
+                ev = int(events[ei])
+                ei += 1
+                if ev != 0:
+                    err = True  # error code returned by this acm_read
+                    break
+                ready = True
+                bpos = 0
+            nw = min(left, block_len - bpos, total - pos)
+            if channels > 1:
+                nw -= nw % channels
+            if nw <= 0:
+                break  # wedged (stranded word); read_loop sees 0 bytes
+            pos += nw
+            bpos += nw
+            got += nw
+            left -= nw
+            if bpos == block_len:
+                ready = False
+        if err and got == 0:
+            return pos  # error surfaced at a chunk boundary: CLI stops
+        if got == 0:
+            return pos  # EOF / wedge
+        # partial data wins: the error (if any) was swallowed; next call
+        # re-enters decode_block after the failed attempt, like the C
 
 
 def effective_stop(total: int, block_len: int, channels: int, words_avail: int) -> int:
@@ -140,8 +196,14 @@ class _FileEntry:
     header: AcmHeader
     channels: int
     # filled at scan time:
-    n_good: int = 0
+    n_good: int = 0  # committed (successful) blocks, errors skipped over
     first_err: int = 0
+    #: per-attempt outcome list (0 = block, negative = error) — drives the
+    #: CLI-equivalent stop position (see cli_stop_words)
+    events: np.ndarray | None = None
+    #: exact host-decoded PCM override (stale-amp-table streams take the
+    #: oracle path; the device result for this file is ignored)
+    host_pcm: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -251,8 +313,15 @@ def _sum_all(*arrs):
 
 def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:
     h = e.header
-    words_avail = e.n_good * block_len
-    stop = effective_stop(h.total_values, block_len, e.channels, words_avail)
+    if e.host_pcm is not None:
+        pcm_flat = e.host_pcm
+    if e.events is not None and np.any(e.events != 0):
+        # errors present: replicate the CLI's exact stop position (errors
+        # are swallowed mid-chunk, fatal at chunk boundaries)
+        stop = cli_stop_words(e.events, block_len, h.total_values, e.channels)
+    else:
+        stop = effective_stop(h.total_values, block_len, e.channels,
+                              e.n_good * block_len)
     want = h.total_values - (h.total_values % e.channels if e.channels > 1 else 0)
     status = 0
     if e.first_err not in (0, ACM_EXPECTED_EOF):
@@ -266,6 +335,23 @@ def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult
         index=e.index, info=info, pcm=pcm_flat[:stop], status=status,
         filler_words=max(0, want - stop),
     )
+
+
+def _host_decode_fallback(e: _FileEntry) -> None:
+    """Exact host decode for stale-amp-table streams (see ScanResult).
+
+    Rare (corrupt/hostile streams only): the k*val dequantization the
+    device performs cannot reproduce the reference's stale table reads, so
+    the file's PCM comes from the oracle instead; batch shape/dispatch is
+    unaffected (the device output for its slot is simply ignored)."""
+    from ..scan import oracle as _oracle
+
+    scan = _oracle.scan_bytes(e.data)
+    e.n_good = scan.n_blocks
+    _, e.first_err = _n_good(scan.events)
+    e.events = scan.events
+    e.host_pcm = _oracle.words_to_pcm(_oracle.synth_all(scan),
+                                      e.header.level)
 
 
 def _n_good(events: np.ndarray) -> tuple[int, int]:
@@ -306,11 +392,13 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
 
     o4 = o8 = o16 = 0
     for j, e in enumerate(chunk):
-        ng, err, o4, o8, o16 = _native.scan_corpus_into(
+        ng, err, o4, o8, o16, oor, events = _native.scan_corpus_into(
             e.data, e.header, cls[j], pwr[j], vals[j],
             pay4, pay8, pay16, o4, o8, o16, bufs,
         )
-        e.n_good, e.first_err = ng, err
+        e.n_good, e.first_err, e.events = ng, err, events
+        if oor:
+            _host_decode_fallback(e)
 
     wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
     # buffers are calloc-zeroed beyond the counters, so padding to stable
@@ -442,10 +530,15 @@ def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
     vals = np.zeros((b, nb), dtype=np.int32)
     for j, e in enumerate(chunk):
         scan = scan_bytes(e.data)
-        e.n_good, e.first_err = _n_good(scan.events)
-        if e.n_good:
-            k[j, : e.n_good] = scan.k[: e.n_good]
-            vals[j, : e.n_good] = scan.val[: e.n_good].astype(np.int32)
+        e.n_good = scan.n_blocks
+        _, e.first_err = _n_good(scan.events)
+        e.events = scan.events
+        if scan.n_exceptions:
+            _host_decode_fallback(e)  # stale-amp-table stream: exact path
+        n = min(e.n_good, nb)
+        if n:
+            k[j, :n] = scan.k[:n]
+            vals[j, :n] = scan.val[:n].astype(np.int32)
     wrap0 = np.zeros((b, wlen), dtype=np.int32)
 
     if mesh is None and pack:

@@ -41,6 +41,9 @@ class BlockIndex:
     bitpos: np.ndarray
     n_good: int
     first_err: int
+    #: stream has out-of-range coefficients (stale-amp-table semantics);
+    #: segment reads fall back to an exact full host decode
+    oor: bool = False
 
     @property
     def words_avail(self) -> int:
@@ -70,11 +73,11 @@ def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,
     pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
     pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
     pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
-    ng, err, o4, o8, o16 = native.scan_corpus_into(
+    ng, err, o4, o8, o16, oor, _events = native.scan_corpus_into(
         data, header, cls[0], pwr, vals[0], pay4, pay8, pay16, 0, 0, 0,
         _bufs(len(data)), start_bit=start_bit, bitpos_out=bitpos_out,
     )
-    return ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16
+    return ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16, oor
 
 
 def build_index(data: bytes) -> BlockIndex:
@@ -84,9 +87,10 @@ def build_index(data: bytes) -> BlockIndex:
     if header is None:
         raise ValueError("not an ACM stream")
     bitpos = np.zeros(header.n_blocks, dtype=np.int64)
-    ng, err, *_ = _scan_span(data, header, None, header.n_blocks, bitpos)
+    out = _scan_span(data, header, None, header.n_blocks, bitpos)
+    ng, err, oor = out[0], out[1], out[-1]
     return BlockIndex(header=header, bitpos=bitpos[:ng].copy(), n_good=ng,
-                      first_err=err)
+                      first_err=err, oor=oor)
 
 
 class RandomAccessCorpus:
@@ -144,13 +148,20 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
     if stop_word <= start_word:
         return np.zeros(0, dtype=np.int16)
 
+    if index.oor:
+        # stale-amp-table stream: only a full host decode is exact
+        from ..scan import oracle as _oracle
+
+        _, pcm, _ = _oracle.decode_bytes(data)
+        return pcm[start_word:stop_word].copy()
+
     a = start_word // bl
     b = -(-stop_word // bl)
     warm = 1 if (a > 0 and h.rows >= 2) else a  # rows==1: prefix fallback
     a0 = a - warm
     nb = b - a0
     nbp = _round_up(nb, 8)
-    ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16 = _scan_span(
+    ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16, _oorseg = _scan_span(
         data, h, int(index.bitpos[a0]) if a0 > 0 else None, nb
     )
     if nbp != nb:

@@ -598,7 +598,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
   b.seek_to_bit(skip_bits);
   meta[4] = b.loaded_bytes();
 
-  int64_t n_blocks = 0, n_events = 0, status = 0;
+  int64_t n_blocks = 0, n_events = 0, status = 0, oor_flag = 0;
   while (n_blocks < max_blocks) {
     int64_t attempt_bit = b.consumed_bits();
     uint32_t pwr = b.get(4);
@@ -627,6 +627,31 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                                           col_tmp)
                      : decode_column(b, static_cast<int>(ind), rows, col_tmp);
       if (outcome != 0) break;
+      // stale-amp-table detection: a filler can emit indexes outside the
+      // current block's table [-count, count-1] (corrupt streams only);
+      // the reference then reads stale table memory. Flag such blocks —
+      // callers fall back to the Python oracle, which reproduces the
+      // stale-table values exactly. Only fillers whose range can exceed
+      // the table need scanning (linear wider than pwr+1; maps when
+      // count < 8; t37 when count < 5).
+      {
+        int maxk = (ind >= 3 && ind <= 16) ? (1 << (ind - 1))
+                   : (ind == 29 ? 5 : (ind == 26 || ind == 27 ? 4
+                   : (ind >= 23 ? 3 : 2)));
+        int count = 1 << pwr;
+        // legal range is [-count, count-1]; map fillers reach +maxk and
+        // linear fillers reach -maxk/+maxk-1, so anything with
+        // maxk >= count may need the scan (cheap; skipped for real audio)
+        if (maxk >= count) {
+          for (int i2 = 0; i2 < rows; i2++) {
+            int v = col_tmp[i2];
+            if (v < -count || v > count - 1) {
+              oor_flag = 1;
+              break;
+            }
+          }
+        }
+      }
       em.emit_column(c, col_tmp);
     }
     if (clean_eof) {
@@ -651,6 +676,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
   meta[1] = n_events;
   meta[2] = status;
   meta[3] = b.loaded_bytes();
+  meta[9] = oor_flag;
   return 0;
 }
 
@@ -797,10 +823,11 @@ int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
 // cls_out / pwr_out / val_out point at this file's slots within the chunk
 // arrays; payload pointers are the shared chunk streams with this file's
 // columns appended starting at offsets off4/off8/off16 (absolute counters
-// returned in meta[5..7]). Scanning stops at the first failed decode
-// attempt (its error code lands in meta[8]; 0 = clean) — the corpus layer
-// never consumes post-error blocks (CLI-equivalent semantics,
-// reference acmtool.c:269-310). Payload capacity is the caller's concern.
+// returned in meta[5..7]). Scanning continues past failed decode attempts
+// (the reference's acm_read does too, decode.c:840-846; the CLI's stop
+// position is derived from the event list by the corpus layer). The first
+// error code lands in meta[8] (0 = clean). Payload capacity is the
+// caller's concern.
 // `skip_bits` is the absolute consumed-bit offset to start at (the header
 // length for a whole-file scan, or a BlockIndex entry for random access).
 // bitpos_out (nullable, [max_blocks]) receives each committed block's
@@ -825,14 +852,16 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
   int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
       data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
       events_scratch, tell_scratch, meta, col_tmp, em,
-      /*stop_on_error=*/true, bitpos_out);
+      /*stop_on_error=*/false, bitpos_out);
   meta[5] = em.n4;
   meta[6] = em.n8;
   meta[7] = em.n16;
-  int64_t n_events = meta[1];
   meta[8] = 0;
-  if (n_events > 0 && events_scratch[n_events - 1] != 0) {
-    meta[8] = events_scratch[n_events - 1];
+  for (int64_t i = 0; i < meta[1]; i++) {
+    if (events_scratch[i] != 0) {
+      meta[8] = events_scratch[i];  // first error in the stream
+      break;
+    }
   }
   return rc;
 }

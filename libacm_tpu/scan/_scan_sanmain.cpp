@@ -54,7 +54,7 @@ int main(int argc, char** argv) {
   std::vector<int16_t> k(maxb * rows * cols), col(rows), ev(maxev);
   std::vector<uint8_t> pwr(maxb), cls(ncols);
   std::vector<uint16_t> val(maxb);
-  std::vector<int64_t> tell(maxev), meta(9);
+  std::vector<int64_t> tell(maxev), meta(10);
   std::vector<int8_t> p4(ncols * half), p8(ncols * rows);
   std::vector<int16_t> p16(ncols * rows);
 

@@ -144,7 +144,7 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
-    meta = np.zeros(8, dtype=np.int64)
+    meta = np.zeros(10, dtype=np.int64)
 
     rc = lib.acm_scan_blocks(
         data, len(data), skip_bits, header.level, rows,
@@ -154,8 +154,10 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
         _ptr(tell, ctypes.c_int64), _ptr(col_tmp, ctypes.c_int16),
         _ptr(meta, ctypes.c_int64),
     )
-    if rc != 0:
-        # can't happen per the bound above; fall back to the spec anyway
+    if rc != 0 or meta[9]:
+        # rc!=0 cannot happen per the bound above; meta[9] = the stream has
+        # out-of-range coefficient indexes (stale-amp-table semantics) —
+        # the oracle reproduces the reference's stale values exactly
         return oracle.scan_bytes(bytes(data), max_blocks)
 
     n_blocks, n_events, status, tell_end, tell0 = (int(x) for x in meta[:5])
@@ -192,6 +194,9 @@ class PackedScan:
     val: np.ndarray  # uint16 [n_blocks]
     events: np.ndarray
     status: int
+    #: stream contains out-of-range coefficient indexes (stale-amp-table
+    #: semantics apply; synthesis from k*val alone is NOT bit-exact)
+    oor: bool = False
 
     @property
     def wire_bytes(self) -> int:
@@ -214,7 +219,7 @@ class CorpusScanBuffers:
                                dtype=np.int16)
         self.tell = np.zeros_like(self.events, dtype=np.int64)
         self.col = np.zeros(max_rows, dtype=np.int16)
-        self.meta = np.zeros(9, dtype=np.int64)
+        self.meta = np.zeros(10, dtype=np.int64)
 
     def fits(self, nbytes: int) -> bool:
         return (8 * (nbytes + 1)) // 20 + 4 <= len(self.events)
@@ -231,10 +236,12 @@ def scan_corpus_into(
     bufs: CorpusScanBuffers,
     start_bit: int | None = None,
     bitpos_out: np.ndarray | None = None,  # int64 [nb]: per-block bit offset
-) -> tuple[int, int, int, int, int]:
+) -> tuple[int, int, int, int, int, bool]:
     """Zero-copy corpus scan of one file into chunk buffers.
 
-    Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16).
+    Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16, oor).
+    `oor` signals out-of-range coefficient indexes (stale-amp-table
+    semantics; callers must fall back to the oracle for exactness).
     Stops at the first failed decode attempt (corpus/CLI semantics).
     `start_bit` overrides the default header-skip start (random access via
     a BlockIndex entry); `bitpos_out` collects the index on a full scan.
@@ -260,7 +267,8 @@ def scan_corpus_into(
     if rc != 0:
         raise RuntimeError("corpus scan: event capacity exceeded")
     m = bufs.meta
-    return int(m[0]), int(m[8]), int(m[5]), int(m[6]), int(m[7])
+    return (int(m[0]), int(m[8]), int(m[5]), int(m[6]), int(m[7]),
+            bool(m[9]), bufs.events[: int(m[1])].copy())
 
 
 def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
@@ -279,7 +287,7 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
-    meta = np.zeros(8, dtype=np.int64)
+    meta = np.zeros(10, dtype=np.int64)
 
     rc = lib.acm_scan_blocks_packed(
         data, len(data), skip_bits, header.level, rows,
@@ -306,4 +314,5 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
         val=val[:n_blocks],
         events=events[: int(meta[1])].copy(),
         status=int(meta[2]),
+        oor=bool(meta[9]),
     )

@@ -344,6 +344,19 @@ class ScanResult:
     raw_tell0: int = 0
     #: reservoir byte position after the terminal (failed) attempt.
     raw_tell_end: int = 0
+    #: Stale-amp-table exceptions (see scan_blocks): coefficients whose
+    #: index k lies outside the block's amplitude table. The reference
+    #: then reads a stale table entry — k*val of the most recent attempt
+    #: whose table covered k, or 0 if none ever did (the 256 KiB table
+    #: comes from mmap'd, zeroed memory in practice). Only corrupt or
+    #: hostile streams produce these. Parallel arrays:
+    exc_block: np.ndarray = None  # int32 [n_exc] block index
+    exc_flat: np.ndarray = None  # int32 [n_exc] flat index within block
+    exc_val: np.ndarray = None  # int32 [n_exc] exact replacement value
+
+    @property
+    def n_exceptions(self) -> int:
+        return 0 if self.exc_block is None else len(self.exc_block)
 
 
 def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = None) -> ScanResult:
@@ -366,7 +379,14 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
     val_all = []
     events = []
     tell_all = []
+    exc = []  # (block, flat, value) stale-table exceptions
     status = 0
+    # virtual amp table: last_val[e] = val of the most recent attempt whose
+    # table covered indexes needing exponent e (the reference regenerates
+    # the table at every attempt, decode.c:591-599, so even attempts that
+    # later fail update it)
+    last_val = np.zeros(17, dtype=np.int64)
+    covered = np.zeros(17, dtype=bool)
     while len(k_all) < max_blocks:
         try:
             pwr = bits.get(4)
@@ -374,6 +394,8 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
         except BitsExhausted:
             status = ACM_EXPECTED_EOF
             break
+        last_val[: pwr + 1] = val
+        covered[: pwr + 1] = True
         k = np.zeros((rows, cols), dtype=np.int16)
         outcome = 0
         try:
@@ -394,11 +416,22 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
         events.append(outcome)
         tell_all.append(bits.loaded_bytes)
         if outcome == 0:
+            count = 1 << pwr
+            kf = k.reshape(-1)
+            oob = np.nonzero((kf < -count) | (kf > count - 1))[0]
+            for flat in oob:
+                ki = int(kf[flat])
+                e = int(np.ceil(np.log2(ki + 1 if ki >= 0 else -ki)))
+                v = int(last_val[e]) if covered[e] else 0
+                exc.append((len(k_all), int(flat), ki * v))
             k_all.append(k)
             pwr_all.append(pwr)
             val_all.append(val)
     k_arr = (
         np.stack(k_all) if k_all else np.zeros((0, rows, cols), dtype=np.int16)
+    )
+    e_blk, e_flat, e_val = (
+        zip(*exc) if exc else ((), (), ())
     )
     return ScanResult(
         header=header,
@@ -410,6 +443,9 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
         status=status,
         raw_tell=np.asarray(tell_all, dtype=np.int64),
         raw_tell_end=bits.loaded_bytes,
+        exc_block=np.asarray(e_blk, dtype=np.int32),
+        exc_flat=np.asarray(e_flat, dtype=np.int32),
+        exc_val=np.asarray(e_val, dtype=np.int32),
     )
 
 
@@ -468,14 +504,39 @@ def synth_block(
 
 
 def synth_all(scan: ScanResult) -> np.ndarray:
-    """Synthesize every scanned block → int32 word stream (pre-shift)."""
+    """Synthesize every scanned block → int32 word stream (pre-shift).
+
+    Applies stale-amp-table exceptions (out-of-range coefficient indexes;
+    see ScanResult) exactly as the reference's persistent table would.
+    """
     h = scan.header
     wrap = np.zeros(h.wrapbuf_len, dtype=np.int32)
     out = np.empty(scan.n_blocks * h.block_len, dtype=np.int32)
     for i in range(scan.n_blocks):
-        words, wrap = synth_block(scan.k[i], int(scan.val[i]), h.level, wrap)
+        words, wrap = _synth_block_exc(scan, i, wrap)
         out[i * h.block_len : (i + 1) * h.block_len] = words
     return out
+
+
+def _synth_block_exc(scan: ScanResult, i: int, wrap: np.ndarray):
+    """synth_block for scanned block i with exception overrides applied."""
+    h = scan.header
+    if scan.n_exceptions and np.any(scan.exc_block == i):
+        x = (scan.k[i].astype(np.int32).reshape(-1) * np.int32(scan.val[i]))
+        m = scan.exc_block == i
+        x[scan.exc_flat[m]] = scan.exc_val[m]
+        return synth_block_values(x, h.level, h.rows, wrap)
+    return synth_block(scan.k[i], int(scan.val[i]), h.level, wrap)
+
+
+def synth_block_values(
+    x: np.ndarray, level: int, rows: int, wrap: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """synth_block starting from already-dequantized int32 values."""
+    cols = 1 << level
+    return synth_block(
+        x.reshape(rows, cols), 1, level, wrap
+    )
 
 
 def words_to_pcm(words: np.ndarray, level: int) -> np.ndarray:

@@ -1,0 +1,130 @@
+"""Long-running differential fuzz: full pipeline vs the compiled C reference.
+
+Not a pytest (runtime-unbounded); run manually:
+    python tests/fuzz_vs_reference.py [seconds] [seed]
+
+Each round synthesizes a random stream (random geometry, content style,
+optional WAVC wrap, optional truncation/bit flips), decodes it with the C
+binary (`acmtool -d -r`) and with this framework through BOTH public paths
+(AcmStream read_loop and decode_corpus), and requires byte equality of the
+decoded prefix plus agreement on the zero-padded tail. Any divergence
+saves the offending stream next to this script and exits non-zero.
+"""
+
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from libacm_tpu import testing  # noqa: E402
+from libacm_tpu.parallel import decode_corpus  # noqa: E402
+from libacm_tpu.stream import acm_open_decoder  # noqa: E402
+from libacm_tpu.format import AcmException  # noqa: E402
+
+REF = "/tmp/refbuild/src/acmtool"
+
+
+def ref_decode(data: bytes):
+    with tempfile.NamedTemporaryFile(suffix=".acm", delete=False) as f:
+        f.write(data)
+        src = f.name
+    out = src + ".raw"
+    r = subprocess.run([REF, "-d", "-r", "-q", "-o", out, src],
+                       capture_output=True, text=True, timeout=60)
+    try:
+        pcm = np.frombuffer(open(out, "rb").read(), dtype="<i2")
+    except OSError:
+        pcm = None
+    return pcm, r.stderr
+
+
+def one_round(rng: np.random.Generator) -> str:
+    level = int(rng.integers(0, 9))
+    rows = int(rng.integers(1, 80))
+    nb = int(rng.integers(1, 7))
+    style = rng.random()
+    if style < 0.5:
+        data = testing.random_acm_bytes(
+            rng, level=level, rows=rows, n_blocks=nb,
+            channels=int(rng.integers(1, 3)),
+            wavc=bool(rng.integers(0, 2)), max_pwr=int(rng.integers(0, 16)))
+    else:
+        data = testing.speech_acm_bytes(
+            rng, level=level, rows=rows, n_blocks=nb,
+            channels=int(rng.integers(1, 3)),
+            base_pwr=int(rng.integers(2, 9)),
+            wavc=bool(rng.integers(0, 2)))
+    mut = rng.random()
+    if mut < 0.25 and len(data) > 20:
+        data = data[: int(rng.integers(14, len(data)))]
+        kind = "trunc"
+    elif mut < 0.5:
+        b = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(14, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        data = bytes(b)
+        kind = "flip"
+    else:
+        kind = "clean"
+
+    want, _ = ref_decode(data)
+    if want is None:
+        return kind  # reference refused to open; header-level reject
+
+    # path 1: corpus decode
+    r = decode_corpus([data])[0]
+    got = r.pcm if r.pcm is not None else np.zeros(0, np.int16)
+    assert np.array_equal(got, want[: len(got)]), "corpus prefix mismatch"
+    assert not want[len(got):].any(), "reference tail not zero-padding"
+
+    # path 2: streaming API
+    try:
+        s = acm_open_decoder(data)
+        buf = bytearray()
+        while True:
+            try:
+                chunk = s.read_loop(8192)
+            except AcmException:
+                break
+            if not chunk:
+                break
+            buf += chunk
+        got2 = np.frombuffer(bytes(buf), dtype="<i2")
+    except AcmException:
+        got2 = np.zeros(0, np.int16)
+    assert np.array_equal(got2, want[: len(got2)]), "stream prefix mismatch"
+    assert not want[len(got2):].any(), "stream tail mismatch"
+    return kind
+
+
+def main():
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    n = 0
+    kinds = {}
+    while time.time() - t0 < budget:
+        state = rng.bit_generator.state
+        try:
+            kind = one_round(rng)
+            kinds[kind] = kinds.get(kind, 0) + 1
+            n += 1
+        except AssertionError as e:
+            rng.bit_generator.state = state
+            bad = pathlib.Path(__file__).parent / f"fuzz_fail_{seed}_{n}.acm"
+            # regenerate deterministically for the repro file
+            print(f"FAIL after {n} rounds: {e}", file=sys.stderr)
+            print(f"reproduce with seed={seed}, round={n}", file=sys.stderr)
+            return 1
+    print(f"OK: {n} rounds in {time.time()-t0:.0f}s {kinds}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

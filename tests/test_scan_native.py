@@ -99,3 +99,36 @@ def test_max_blocks_cap():
         np.testing.assert_array_equal(got.k, want.k)
         np.testing.assert_array_equal(got.events, want.events)
         assert got.status == want.status
+
+
+def test_stale_amp_table_exceptions_match_reference_semantics():
+    """Out-of-range coefficient indexes read stale amp-table entries in the
+    C; the oracle's virtual table reproduces them, and every decode path
+    (stream, corpus, random access) returns the same bytes."""
+    from libacm_tpu import testing as T
+    from libacm_tpu.parallel import decode_corpus, build_index, read_segment
+    from libacm_tpu.stream import acm_open_decoder
+
+    # block 0: big pwr=10 table; block 1: pwr=0 but a linear-4 filler
+    # emitting k in [-8, 7] -> indexes beyond [-1, 0] hit block 0's table
+    rng = np.random.default_rng(0)
+    rows, cols = 8, 8
+    k0 = rng.integers(-100, 100, (rows, cols)).astype(np.int32)
+    k1 = rng.integers(-8, 8, (rows, cols)).astype(np.int32)
+    blocks = [T.BlockData(pwr=10, val=777, k=k0, fillers=[8] * cols),
+              T.BlockData(pwr=0, val=5, k=k1, fillers=[4] * cols)]
+    data = T.encode_acm(blocks, 2 * rows * cols, level=3, rows=rows)
+
+    scan = oracle.scan_bytes(data)
+    assert scan.n_exceptions > 0
+    # exception values = k * 777 (block 0's table covers |k| <= 8)
+    assert all(v % 777 == 0 for v in scan.exc_val)
+
+    _, want, _ = oracle.decode_bytes(data)
+    got_stream = np.frombuffer(acm_open_decoder(data).read_loop(10**7), "<i2")
+    np.testing.assert_array_equal(got_stream, want)
+    r = decode_corpus([data])[0]
+    np.testing.assert_array_equal(r.pcm, want)
+    idx = build_index(data)
+    np.testing.assert_array_equal(read_segment(data, idx, 5, 100),
+                                  want[5:105])

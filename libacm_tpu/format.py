@@ -133,6 +133,17 @@ class AcmHeader:
         """
         return -(-self.total_values // self.block_len)
 
+    def max_blocks_in(self, nbytes: int) -> int:
+        """Physical block capacity of an nbytes-long stream.
+
+        `total_values` is attacker-controlled (a corrupt header can claim
+        2^32 samples); a successful block costs at least 4+16 header bits
+        plus a 5-bit code per column, so the stream length bounds how many
+        blocks can actually decode — allocate for that, not the claim.
+        """
+        cap = (8 * (nbytes + 1)) // (20 + 5 * self.cols) + 1
+        return max(1, min(self.n_blocks, cap))
+
 
 def resolve_channels(header_channels: int, wavc_file: bool, force_chans: int) -> int:
     """force_chans resolution, identical to decode.c:786-799.

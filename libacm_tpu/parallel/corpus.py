@@ -226,7 +226,9 @@ class CorpusConfig:
     """
 
     force_chans: int = 0
-    chunk_files: int = 16
+    #: files per device dispatch; None = auto-size so each chunk carries
+    #: ~8M samples (small files need big chunks to amortize dispatch RTTs)
+    chunk_files: int | None = None
     pack: bool = True
     backend: str = "jax"  # "jax" | "pallas"
 
@@ -311,10 +313,32 @@ def _sum_all(*arrs):
     return sum(jnp.sum(a.astype(jnp.int32), dtype=jnp.int32) for a in arrs)
 
 
+def _cli_total_bytes(total_values: int, channels: int) -> int:
+    """The CLI's `total_bytes` with its 32-bit int arithmetic
+    (acmtool.c:268: pcm_total * channels * 2 as C int). A corrupt header
+    claiming ~2^30+ samples overflows this negative, making acmtool -d
+    emit nothing — reproduced for bit-exact CLI parity."""
+    tb = (total_values // channels) * channels * 2
+    tb &= 0xFFFFFFFF
+    return tb - (1 << 32) if tb >= (1 << 31) else tb
+
+
 def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:
     h = e.header
     if e.host_pcm is not None:
         pcm_flat = e.host_pcm
+    total_bytes = _cli_total_bytes(h.total_values, e.channels)
+    if total_bytes <= 0:
+        info = ACMInfo(
+            channels=e.channels, rate=h.rate, acm_id=ACM_ID, acm_version=1,
+            acm_channels=h.channels, acm_level=h.level, acm_cols=h.cols,
+            acm_rows=h.rows,
+        )
+        return FileResult(index=e.index, info=info,
+                          pcm=np.zeros(0, dtype=np.int16),
+                          status=e.first_err if e.first_err not in
+                          (0, ACM_EXPECTED_EOF) else 0,
+                          filler_words=0)
     if e.events is not None and np.any(e.events != 0):
         # errors present: replicate the CLI's exact stop position (errors
         # are swallowed mid-chunk, fatal at chunk boundaries)
@@ -426,7 +450,7 @@ def decode_corpus_device(
     force_chans: int = 0,
     mesh: Mesh | None = None,
     backend: str = "jax",
-    chunk_files: int = 16,
+    chunk_files: int | None = None,
     pack: bool = True,
     config: CorpusConfig | None = None,
 ) -> DeviceCorpus:
@@ -458,7 +482,8 @@ def decode_corpus_device(
             channels=resolve_channels(header.channels, header.wavc_file,
                                       force_chans),
         )
-        key = (header.level, header.rows, _pad_blocks(header.n_blocks))
+        key = (header.level, header.rows,
+               _pad_blocks(header.max_blocks_in(len(data))))
         buckets.setdefault(key, []).append(e)
 
     if backend == "pallas":
@@ -484,7 +509,14 @@ def decode_corpus_device(
         for (level, rows, nb), entries in buckets.items():
             cols = 1 << level
             wlen = 2 * cols - 2
-            step = len(entries) if mesh is not None else max(1, chunk_files)
+            if mesh is not None:
+                step = len(entries)
+            elif chunk_files is not None:
+                step = max(1, chunk_files)
+            else:
+                # auto: ~8M samples per dispatch, 8..256 files
+                per_file = max(1, nb * rows * cols)
+                step = min(256, max(8, -(-8_000_000 // per_file)))
             for lo in range(0, len(entries), step):
                 chunk = entries[lo : lo + step]
                 if use_cols_wire:
@@ -575,7 +607,7 @@ def decode_corpus(
     force_chans: int = 0,
     mesh: Mesh | None = None,
     backend: str = "jax",
-    chunk_files: int = 16,
+    chunk_files: int | None = None,
     pack: bool = True,
     config: CorpusConfig | None = None,
 ) -> list[FileResult]:

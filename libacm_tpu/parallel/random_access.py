@@ -86,8 +86,9 @@ def build_index(data: bytes) -> BlockIndex:
     header = parse_header(BitReader(data))
     if header is None:
         raise ValueError("not an ACM stream")
-    bitpos = np.zeros(header.n_blocks, dtype=np.int64)
-    out = _scan_span(data, header, None, header.n_blocks, bitpos)
+    cap = header.max_blocks_in(len(data))
+    bitpos = np.zeros(cap, dtype=np.int64)
+    out = _scan_span(data, header, None, cap, bitpos)
     ng, err, oor = out[0], out[1], out[-1]
     return BlockIndex(header=header, bitpos=bitpos[:ng].copy(), n_good=ng,
                       first_err=err, oor=oor)

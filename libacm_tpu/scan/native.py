@@ -126,6 +126,11 @@ def _prep(data: bytes, max_blocks: int | None):
         raise ValueError("not an ACM stream")
     if max_blocks is None:
         max_blocks = header.n_blocks
+    # a corrupt header can claim 2^32 samples; allocate for what the
+    # stream's byte length can physically contain (+2 attempts so the
+    # scanner still discovers EOF and reports the right terminal status)
+    byte_cap = (8 * (len(data) + 1)) // (20 + 5 * header.cols) + 2
+    max_blocks = min(max_blocks, byte_cap)
     skip_bits = 8 * (ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0))
     # every recorded event consumes >= 20 payload bits (pwr+val), so this
     # bound cannot be hit; +4 covers reservoir-tail attempts

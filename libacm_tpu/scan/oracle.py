@@ -7,7 +7,7 @@ LSB-first bit reservoir and its byte-accounting (reference:
 (decode.c:57-61), the 32-entry filler grammar (decode.c:168-502), the
 multi-pass integer synthesis filterbank (decode.c:508-577), and the error
 taxonomy. It is deliberately simple and slow; the C++ scanner
-(`libacm_tpu/scan/cpp`) and the JAX/Pallas synthesis backends
+(`libacm_tpu/scan/_scan.cpp`) and the JAX/Pallas synthesis backends
 (`libacm_tpu/ops`) are differential-tested against it.
 
 Architecture note (TPU-first redesign, not a translation): unlike the

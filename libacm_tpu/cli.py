@@ -15,7 +15,8 @@ import os
 import sys
 
 from . import io as acmio
-from .format import ACM_WORD, AcmException, acm_strerror, LIBACM_TPU_VERSION
+from .format import (ACM_WORD, AcmException, acm_strerror, cli_total_bytes,
+                     LIBACM_TPU_VERSION)
 from .stream import AcmStream, acm_open_file
 
 VERSION_LINE = f"acmtool - libacm_tpu version {LIBACM_TPU_VERSION}"
@@ -78,7 +79,11 @@ def decode_file(fn: str, fn2: str, cf: _Config) -> None:
         fo.write(acmio.wav_header(acm.pcm_total(), acm.channels, acm.rate))
 
     buflen = 16 * 1024
-    total_bytes = acm.pcm_total() * acm.channels * ACM_WORD
+    # C int arithmetic: a hostile header claiming ~2^30+ samples wraps this
+    # negative and the reference emits nothing past the WAV header
+    # (acmtool.c:272) — without the wrap a ~100-byte file would make us
+    # write gigabytes of zero filler.
+    total_bytes = cli_total_bytes(acm.total_values, acm.channels)
     bytes_done = 0
     while bytes_done < total_bytes:
         try:
@@ -137,26 +142,40 @@ def play_file(fn: str, cf: _Config) -> None:
               file=sys.stderr)
         raise SystemExit(1)
 
-    import numpy as np
-
     try:
         acm = acm_open_file(fn, cf.force_chans)
     except AcmException as e:
         print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
         return
     show_header(fn, acm, cf)
-    data = b""
-    total = acm.pcm_total() * acm.channels * ACM_WORD
-    try:
-        data = acm.read_loop(total)
-    except AcmException as e:
-        print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
-    if len(data) < total:
-        print(f"{fn}: adding filler_samples: {total - len(data)}",
-              file=sys.stderr)
-        data += bytes(total - len(data))
-    pcm = np.frombuffer(data, dtype="<i2").reshape(-1, acm.channels)
-    sounddevice.play(pcm, acm.rate, blocking=True)
+    # Progressive playback, chunked like the reference's 4 KiB ao_play loop
+    # (acmtool.c:118-128): decode/play interleave, O(chunk) memory. The
+    # reference's total_bytes here is an *unsigned* int (acmtool.c:103), so
+    # a hostile header wraps to a small positive count, not negative.
+    buflen = 4 * 1024
+    total = cli_total_bytes(acm.total_values, acm.channels, signed=False)
+    done = 0
+    stream = sounddevice.RawOutputStream(
+        samplerate=acm.rate, channels=acm.channels, dtype="int16")
+    with stream:
+        while done < total:
+            try:
+                buf = acm.read_loop(buflen // ACM_WORD)
+            except AcmException as e:
+                print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
+                break
+            if not buf:
+                break
+            stream.write(buf)
+            done += len(buf)
+        if done < total:
+            print(f"{fn}: adding filler_samples: {total - done}",
+                  file=sys.stderr)
+        zeros = bytes(buflen)
+        while done < total:
+            bs = min(buflen, total - done)
+            stream.write(zeros[:bs])
+            done += bs
     acm.close()
 
 

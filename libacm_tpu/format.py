@@ -145,6 +145,22 @@ class AcmHeader:
         return max(1, min(self.n_blocks, cap))
 
 
+def cli_total_bytes(total_values: int, channels: int, *,
+                    signed: bool = True) -> int:
+    """The reference CLI's `total_bytes = acm_pcm_total * channels * 2`
+    in C integer arithmetic (acmtool.c:272 decode path, acmtool.c:113 play
+    path). `acm_pcm_total` is unsigned `total_values / channels`
+    (util.c:177-180); the product wraps at 2^32. decode_file stores it in a
+    signed `int` — a corrupt header claiming ~2^30+ samples makes it
+    negative and acmtool -d emits nothing past the WAV header; play_file
+    stores it in an `unsigned int`, so the same header wraps to a small
+    positive count instead. Reproduced for bit-exact CLI parity."""
+    tb = ((total_values // channels) * channels * ACM_WORD) & 0xFFFFFFFF
+    if signed and tb >= (1 << 31):
+        tb -= 1 << 32
+    return tb
+
+
 def resolve_channels(header_channels: int, wavc_file: bool, force_chans: int) -> int:
     """force_chans resolution, identical to decode.c:786-799.
 

@@ -58,6 +58,7 @@ from ..format import (
     ACMInfo,
     AcmError,
     AcmHeader,
+    cli_total_bytes as _cli_total_bytes,
     resolve_channels,
 )
 from ..scan import scan_bytes
@@ -311,16 +312,6 @@ class DeviceCorpus:
 @jax.jit
 def _sum_all(*arrs):
     return sum(jnp.sum(a.astype(jnp.int32), dtype=jnp.int32) for a in arrs)
-
-
-def _cli_total_bytes(total_values: int, channels: int) -> int:
-    """The CLI's `total_bytes` with its 32-bit int arithmetic
-    (acmtool.c:268: pcm_total * channels * 2 as C int). A corrupt header
-    claiming ~2^30+ samples overflows this negative, making acmtool -d
-    emit nothing — reproduced for bit-exact CLI parity."""
-    tb = (total_values // channels) * channels * 2
-    tb &= 0xFFFFFFFF
-    return tb - (1 << 32) if tb >= (1 << 31) else tb
 
 
 def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:

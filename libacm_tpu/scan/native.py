@@ -244,12 +244,16 @@ def scan_corpus_into(
 ) -> tuple[int, int, int, int, int, bool]:
     """Zero-copy corpus scan of one file into chunk buffers.
 
-    Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16, oor).
-    `oor` signals out-of-range coefficient indexes (stale-amp-table
-    semantics; callers must fall back to the oracle for exactness).
-    Stops at the first failed decode attempt (corpus/CLI semantics).
-    `start_bit` overrides the default header-skip start (random access via
-    a BlockIndex entry); `bitpos_out` collects the index on a full scan.
+    Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16, oor,
+    events). `oor` signals out-of-range coefficient indexes (stale-amp-table
+    semantics; callers must fall back to the oracle for exactness). `events`
+    is the per-attempt outcome array (0 = good block, negative = error):
+    the C scan runs with stop_on_error=false, deliberately continuing past
+    failed decode attempts so cli_stop_words can model the reference CLI's
+    error-swallowing read loop; `n_good_blocks` counts only committed
+    blocks. `start_bit` overrides the default header-skip start (random
+    access via a BlockIndex entry); `bitpos_out` collects the index on a
+    full scan.
     """
     lib = _load()
     assert lib is not None and bufs.fits(len(data))

@@ -46,6 +46,41 @@ def test_randomized_live_parity(seed, ref_acmtool, tmp_path):
     np.testing.assert_array_equal(ref, mine)
 
 
+@pytest.mark.parametrize("total,channels", [
+    # total_bytes wraps NEGATIVE as C int (acmtool.c:272): the reference
+    # emits nothing past the WAV header — so must we, instead of writing
+    # ~2 GB of zero filler from a ~100-byte hostile file.
+    ((1 << 30) + 100, 1),
+    # wraps to a small POSITIVE count: output truncates at the first
+    # read chunk past the wrapped total.
+    ((1 << 31) + 100, 1),
+    ((1 << 30) + 7, 2),
+])
+def test_cli_total_bytes_overflow_live(total, channels, ref_acmtool, tmp_path,
+                                       capsys):
+    """Hostile total_values headers: our CLI's output must byte-match the
+    reference CLI's C-int total_bytes arithmetic, WAV header included."""
+    from libacm_tpu import cli
+
+    rng = np.random.default_rng(99)
+    data = testing.random_acm_bytes(
+        rng, level=4, rows=10, n_blocks=3, channels=channels,
+        total_values=total)
+    src = tmp_path / "t.acm"
+    src.write_bytes(data)
+
+    ref_out = tmp_path / "ref.wav"
+    r = subprocess.run([ref_acmtool, "-d", "-q", "-o", str(ref_out), str(src)],
+                       capture_output=True)
+    ref_bytes = ref_out.read_bytes()
+    assert len(ref_bytes) < 1 << 20  # guard: the C must not explode either
+
+    my_out = tmp_path / "my.wav"
+    cli.main(["-d", "-q", "-o", str(my_out), str(src)])
+    capsys.readouterr()
+    assert my_out.read_bytes() == ref_bytes
+
+
 def test_seek_live_parity(ref_acmtool, tmp_path):
     """Our seek returns the same reached positions the C library would:
     validated indirectly — after seek, remaining PCM equals the reference

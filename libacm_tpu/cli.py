@@ -79,6 +79,12 @@ def decode_file(fn: str, fn2: str, cf: _Config) -> None:
         fo.write(acmio.wav_header(acm.pcm_total(), acm.channels, acm.rate))
 
     buflen = 16 * 1024
+    # The reference reads 8 KiB chunks (acmtool.c:273-276) and its chunk
+    # size is observable ONLY through error streams (an error surfacing at
+    # a chunk boundary stops the CLI; mid-chunk it is swallowed). For a
+    # clean stream every chunk size yields identical bytes, so read big
+    # and keep the Python loop off the hot path.
+    chunk = buflen // 2 if acm.has_errors() else 4 << 20
     # C int arithmetic: a hostile header claiming ~2^30+ samples wraps this
     # negative and the reference emits nothing past the WAV header
     # (acmtool.c:272) — without the wrap a ~100-byte file would make us
@@ -87,7 +93,7 @@ def decode_file(fn: str, fn2: str, cf: _Config) -> None:
     bytes_done = 0
     while bytes_done < total_bytes:
         try:
-            buf = acm.read_loop(buflen // 2)
+            buf = acm.read_loop(chunk)
         except AcmException as e:
             print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
             break

@@ -240,11 +240,14 @@ def _pad_nb(nb: int) -> int:
     return p
 
 
-def decode_scan_result(scan: ScanResult, backend: str = "jax") -> np.ndarray:
+def decode_scan_result(scan: ScanResult, backend: str = "auto") -> np.ndarray:
     """Host wrapper: ScanResult → int16 PCM words (numpy, unclamped).
 
     Output covers the scanned blocks only; callers apply total_values /
-    channel clamping (stream layer).
+    channel clamping (stream layer). backend="auto" uses the native host
+    synth when available (streaming consumers want PCM bytes on the host;
+    a device round-trip is pure waste) and XLA otherwise; "jax"/"pallas"
+    force device synthesis, "host" requires the native path.
     """
     h = scan.header
     nb = scan.n_blocks
@@ -256,6 +259,15 @@ def decode_scan_result(scan: ScanResult, backend: str = "jax") -> np.ndarray:
         from ..scan import oracle as _oracle
 
         return _oracle.words_to_pcm(_oracle.synth_all(scan), h.level)
+    if backend in ("auto", "host"):
+        from ..scan import native as _native
+
+        if _native.available():
+            pcm, _ = _native.synth_dense(scan.k, scan.val, h.level, h.rows)
+            return pcm.reshape(-1)
+        if backend == "host":
+            raise RuntimeError("native host synth unavailable")
+        backend = "jax"
     nbp = _pad_nb(nb)
     k = scan.k
     vals = scan.val.astype(np.int32)

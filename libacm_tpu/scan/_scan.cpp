@@ -677,6 +677,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
   meta[2] = status;
   meta[3] = b.loaded_bytes();
   meta[9] = oor_flag;
+  meta[10] = b.consumed_bits();  // resume point for windowed decode
   return 0;
 }
 
@@ -698,6 +699,116 @@ struct DenseEmitter {
   void commit_block(uint32_t pwr, uint32_t val) {
     pwr_out[nb] = static_cast<uint8_t>(pwr);
     val_out[nb] = static_cast<uint16_t>(val);
+    nb++;
+  }
+  void rollback_block() {}
+};
+
+// Host synthesis core: the closed-form filterbank (SURVEY §2.6 / the same
+// math as ops/synth_jax.synth_words) on one block. Each of the `level`
+// passes views the flat rows*cols block as (rows<<(p+1), cols>>(p+1)) and
+// computes the pure order-2 FIR on *raw* inputs
+//     y[r] = s[r] + 2*s[r-1] + s[r-2]   (r even)
+//     y[r] = 2*s[r-1] - s[r] - s[r-2]   (r odd)
+// double-buffered (x raw -> y out, then swap) so every inner loop is a
+// forward contiguous SIMD-able sweep. s[-2], s[-1] come from the pass's
+// segment of the persistent carry `wrap` (2*cols-2), updated to the last
+// two raw rows. All arithmetic uint32 (= the wrapping int32 contract of
+// the format; no saturation). Returns the buffer holding the result.
+// Reference behavior being reproduced: decode.c:508-577 (juggle passes,
+// +1 rounding bias after pass 0, wrapbuf threading).
+// One pass as a single flat sweep: with 2L words of history prepended at
+// x[-2L..-1] (L = sub_len), every element is
+//     y[i] = x[i] + x[i-2L] + 2*x[i-L]       ((i/L) even)
+//     y[i] = 2*x[i-L] - x[i] - x[i-2L]       ((i/L) odd)
+// Small L is template-specialized so the 2L-element period body fully
+// unrolls and SLP-vectorizes (the per-row formulation left the hot late
+// passes — L in {1,2,4,8} with thousands of rows — as scalar loop
+// overhead). n is always a multiple of 2L (n = rows<<(p+1) * L).
+template <int L>
+inline void pass_body_fixed(const uint32_t* x, uint32_t* y, int64_t n) {
+  for (int64_t i = 0; i < n; i += 2 * L) {
+    for (int j = 0; j < L; j++)
+      y[i + j] = x[i + j] + x[i + j - 2 * L] + 2u * x[i + j - L];
+    for (int j = 0; j < L; j++)
+      y[i + L + j] = 2u * x[i + j] - x[i + L + j] - x[i + j - L];
+  }
+}
+
+inline void pass_body_generic(const uint32_t* x, uint32_t* y, int64_t n,
+                              int L) {
+  for (int64_t i = 0; i < n; i += 2 * L) {
+    for (int j = 0; j < L; j++)
+      y[i + j] = x[i + j] + x[i + j - 2 * L] + 2u * x[i + j - L];
+    for (int j = 0; j < L; j++)
+      y[i + L + j] = 2u * x[i + j] - x[i + L + j] - x[i + j - L];
+  }
+}
+
+// x, y must each have >= cols words of writable headroom BEFORE them (the
+// per-pass history is copied there so the sweep has no boundary cases).
+inline uint32_t* synth_block_host(uint32_t* x, uint32_t* y, uint32_t* wrap,
+                                  int level, int rows, int cols) {
+  const int64_t n = static_cast<int64_t>(rows) * cols;
+  for (int p = 0; p < level; p++) {
+    const int L = cols >> (p + 1);
+    std::memcpy(x - 2 * L, wrap, 2 * L * sizeof(uint32_t));  // history
+    std::memcpy(wrap, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
+    switch (L) {
+      case 1: pass_body_fixed<1>(x, y, n); break;
+      case 2: pass_body_fixed<2>(x, y, n); break;
+      case 4: pass_body_fixed<4>(x, y, n); break;
+      case 8: pass_body_fixed<8>(x, y, n); break;
+      default: pass_body_generic(x, y, n, L); break;
+    }
+    if (p == 0)  // rounding bias: +1 at element 0 of every pass-0 row
+      for (int64_t i = 0; i < n; i += L) y[i] += 1u;
+    wrap += 2 * L;
+    std::swap(x, y);
+  }
+  return x;
+}
+
+// Dequantize + synthesize + shift + pack one dense block to int16 PCM.
+// xbuf/ybuf point at the data area of buffers with >= cols words headroom.
+inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
+                            int rows, int cols, uint32_t* wrap,
+                            uint32_t* xbuf, uint32_t* ybuf, int16_t* dst) {
+  const int64_t n = static_cast<int64_t>(rows) * cols;
+  for (int64_t i = 0; i < n; i++)
+    xbuf[i] = static_cast<uint32_t>(static_cast<int32_t>(k[i])) * val;
+  const uint32_t* res = synth_block_host(xbuf, ybuf, wrap, level, rows, cols);
+  for (int64_t i = 0; i < n; i++)
+    dst[i] = static_cast<int16_t>(static_cast<int32_t>(res[i]) >> level);
+}
+
+// Fused scan+synth emitter: the host-output fast path. Collects each
+// block's coefficients (row-major, like the reference's block buffer),
+// then on commit dequantizes, runs the filterbank, and writes int16 PCM —
+// one cache-resident pass per block, no dense-tensor materialization.
+// Failed decode attempts never touch `wrap` (the reference's juggle only
+// runs on successfully filled blocks, decode.c:600-607).
+struct SynthEmitter {
+  int16_t* pcm_out;  // [max_blocks * rows * cols]
+  uint32_t* wrap;    // [2*cols-2] in/out carry
+  int16_t* kbuf;     // scratch [rows*cols]
+  uint32_t* xbuf;    // scratch [rows*cols]
+  uint32_t* ybuf;    // scratch [rows*cols]
+  int level, rows, cols;
+  int64_t block_elems;
+  int64_t nb = 0;
+
+  void begin_block() {
+    std::memset(kbuf, 0, block_elems * sizeof(int16_t));
+  }
+  void emit_column(int c, const int16_t* col) {
+    int16_t* base = kbuf + c;
+    for (int i = 0; i < rows; i++)
+      base[static_cast<int64_t>(i) * cols] = col[i];
+  }
+  void commit_block(uint32_t /*pwr*/, uint32_t val) {
+    synth_pcm_block(kbuf, val, level, rows, cols, wrap, xbuf, ybuf,
+                    pcm_out + nb * block_elems);
     nb++;
   }
   void rollback_block() {}
@@ -864,6 +975,55 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
     }
   }
   return rc;
+}
+
+// Fused host decode: scan + dequantize + filterbank + >>level + int16
+// pack per committed block, threading the inter-block wrap carry — the
+// single-pass host-output path (the reference's whole pipeline in one
+// sweep, decode.c:580-611 + 617-625, but emitter-structured). `wrap`
+// ([2*cols-2] uint32) is in/out and `skip_bits` is the absolute start, so
+// bounded-memory windowed decode falls out: scan N blocks, resume the next
+// window at meta[10] (final consumed-bit position) with the same wrap.
+// Scanning continues past failed attempts (events record them; meta[8] =
+// first error). pcm_out: [max_blocks*rows*cols]; kbuf int16 / xbuf / ybuf
+// uint32 scratch, each [rows*cols].
+int64_t acm_decode_host(const uint8_t* data, int64_t nbytes,
+                        int64_t skip_bits, int32_t level, int32_t rows,
+                        int64_t max_blocks, int64_t max_events,
+                        int16_t* pcm_out, uint32_t* wrap,
+                        int16_t* events_out, int64_t* tell_out,
+                        int16_t* col_tmp, int16_t* kbuf,
+                        uint32_t* xbuf, uint32_t* ybuf, int64_t* meta) {
+  const int cols = 1 << level;
+  // xbuf/ybuf are [rows*cols + cols]; the first cols words are the
+  // history headroom synth_block_host writes before each pass sweep
+  SynthEmitter em{pcm_out, wrap, kbuf, xbuf + cols, ybuf + cols, level, rows,
+                  cols, static_cast<int64_t>(rows) * cols};
+  int64_t rc = scan_driver<SynthEmitter, /*FAST=*/true>(
+      data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
+      events_out, tell_out, meta, col_tmp, em);
+  meta[8] = 0;
+  for (int64_t i = 0; i < meta[1]; i++) {
+    if (events_out[i] != 0) {
+      meta[8] = events_out[i];
+      break;
+    }
+  }
+  return rc;
+}
+
+// Host synth of already-scanned dense blocks (the streaming path's
+// back-end when PCM is host-bound): k [nb*rows*cols] int16, vals [nb]
+// uint16, wrap [2*cols-2] uint32 in/out, pcm_out [nb*rows*cols] int16.
+int64_t acm_synth_dense(const int16_t* k, const uint16_t* vals, int64_t nb,
+                        int32_t level, int32_t rows, uint32_t* wrap,
+                        uint32_t* xbuf, uint32_t* ybuf, int16_t* pcm_out) {
+  const int cols = 1 << level;
+  const int64_t n = static_cast<int64_t>(rows) * cols;
+  for (int64_t b = 0; b < nb; b++)  // xbuf/ybuf: [n + cols] (headroom)
+    synth_pcm_block(k + b * n, vals[b], level, rows, cols, wrap, xbuf + cols,
+                    ybuf + cols, pcm_out + b * n);
+  return 0;
 }
 
 }  // extern "C"

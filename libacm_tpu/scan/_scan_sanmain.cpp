@@ -25,6 +25,10 @@ int64_t acm_scan_corpus_into(const uint8_t*, int64_t, int64_t, int32_t,
                              int16_t*, int64_t, int64_t, int64_t, uint8_t*,
                              uint16_t*, int16_t*, int64_t*, int64_t,
                              int16_t*, int64_t*, int64_t*);
+int64_t acm_decode_host(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
+                        int64_t, int64_t, int16_t*, uint32_t*, int16_t*,
+                        int64_t*, int16_t*, int16_t*, uint32_t*, uint32_t*,
+                        int64_t*);
 }
 
 int main(int argc, char** argv) {
@@ -54,7 +58,7 @@ int main(int argc, char** argv) {
   std::vector<int16_t> k(maxb * rows * cols), col(rows), ev(maxev);
   std::vector<uint8_t> pwr(maxb), cls(ncols);
   std::vector<uint16_t> val(maxb);
-  std::vector<int64_t> tell(maxev), meta(10);
+  std::vector<int64_t> tell(maxev), meta(12);
   std::vector<int8_t> p4(ncols * half), p8(ncols * rows);
   std::vector<int16_t> p16(ncols * rows);
 
@@ -70,6 +74,11 @@ int main(int argc, char** argv) {
                        p4.data(), p8.data(), p16.data(), 0, 0, 0, pwr.data(),
                        val.data(), ev.data(), tell.data(), maxev, col.data(),
                        meta.data(), bitpos.data());
+  std::vector<int16_t> pcm(maxb * rows * cols), kbuf(rows * cols);
+  std::vector<uint32_t> wrap(2 * cols), xb(rows * cols + cols), yb(rows * cols + cols);
+  acm_decode_host(data.data(), n, skip, level, rows, maxb, maxev, pcm.data(),
+                  wrap.data(), ev.data(), tell.data(), col.data(),
+                  kbuf.data(), xb.data(), yb.data(), meta.data());
   std::printf("ok %lld blocks\n", static_cast<long long>(meta[0]));
   return 0;
 }

@@ -92,6 +92,29 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    fh = lib.acm_decode_host
+    fh.restype = ctypes.c_int64
+    fh.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,  # max_blocks, max_events
+        ctypes.POINTER(ctypes.c_int16),  # pcm_out
+        ctypes.POINTER(ctypes.c_uint32),  # wrap
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int16),  # col_tmp
+        ctypes.POINTER(ctypes.c_int16),  # kbuf
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    fs = lib.acm_synth_dense
+    fs.restype = ctypes.c_int64
+    fs.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int16),
+    ]
     fp = lib.acm_scan_blocks_packed
     fp.restype = ctypes.c_int64
     fp.argtypes = [
@@ -149,7 +172,7 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
-    meta = np.zeros(10, dtype=np.int64)
+    meta = np.zeros(12, dtype=np.int64)
 
     rc = lib.acm_scan_blocks(
         data, len(data), skip_bits, header.level, rows,
@@ -224,7 +247,7 @@ class CorpusScanBuffers:
                                dtype=np.int16)
         self.tell = np.zeros_like(self.events, dtype=np.int64)
         self.col = np.zeros(max_rows, dtype=np.int16)
-        self.meta = np.zeros(10, dtype=np.int64)
+        self.meta = np.zeros(12, dtype=np.int64)
 
     def fits(self, nbytes: int) -> bool:
         return (8 * (nbytes + 1)) // 20 + 4 <= len(self.events)
@@ -296,7 +319,7 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
-    meta = np.zeros(10, dtype=np.int64)
+    meta = np.zeros(12, dtype=np.int64)
 
     rc = lib.acm_scan_blocks_packed(
         data, len(data), skip_bits, header.level, rows,
@@ -325,3 +348,134 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
         status=int(meta[2]),
         oor=bool(meta[9]),
     )
+
+
+@dataclasses.dataclass
+class HostDecode:
+    """Output of the fused host scan+synth path (`acm_decode_host`)."""
+
+    header: AcmHeader
+    #: int16 PCM words of the committed blocks, [n_good * block_len]
+    pcm: np.ndarray
+    n_good: int
+    first_err: int  # first error event, 0 if clean
+    events: np.ndarray
+    status: int  # terminal scan status (0 / ACM_EXPECTED_EOF)
+    #: stream has out-of-range coefficient indexes (stale-amp-table
+    #: semantics) — this PCM is NOT bit-exact; use the oracle instead
+    oor: bool
+    #: absolute consumed-bit position after the last attempt (resume point
+    #: for the next window) and the filterbank carry at that point
+    end_bit: int
+    wrap: np.ndarray  # uint32 [2*cols-2]
+
+
+class HostDecodeScratch:
+    """Reusable per-(level, rows) scratch for decode_host/synth_dense."""
+
+    def __init__(self, level: int, rows: int):
+        n = rows << level
+        self.key = (level, rows)
+        self.col = np.zeros(max(rows, 1), dtype=np.int16)
+        self.kbuf = np.zeros(n, dtype=np.int16)
+        # + cols headroom: per-pass history prepended by synth_block_host
+        self.xbuf = np.zeros(n + (1 << level), dtype=np.uint32)
+        self.ybuf = np.zeros(n + (1 << level), dtype=np.uint32)
+        self.meta = np.zeros(12, dtype=np.int64)
+
+
+_SCRATCH: dict[tuple[int, int], HostDecodeScratch] = {}
+
+
+def _scratch(level: int, rows: int) -> HostDecodeScratch:
+    s = _SCRATCH.get((level, rows))
+    if s is None:
+        if len(_SCRATCH) > 64:
+            _SCRATCH.clear()
+        s = _SCRATCH[(level, rows)] = HostDecodeScratch(level, rows)
+    return s
+
+
+def decode_host(
+    data: bytes,
+    header: AcmHeader | None = None,
+    max_blocks: int | None = None,
+    start_bit: int | None = None,
+    wrap: np.ndarray | None = None,
+) -> HostDecode:
+    """Fused single-pass host decode: scan + filterbank + int16 PCM.
+
+    The host-output fast path (the reference's whole per-block pipeline,
+    decode.c:580-625, in one cache-resident C++ sweep). `start_bit`/`wrap`
+    resume a previous window's `end_bit`/`wrap` for bounded-memory
+    streaming decode; by default decodes the whole stream from the header.
+    Callers must check `oor` and fall back to the oracle (stale-amp-table
+    streams cannot be synthesized from k*val alone).
+    """
+    lib, hdr, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
+    if header is not None:
+        hdr = header
+    rows, cols = hdr.rows, hdr.cols
+    if start_bit is None:
+        start_bit = skip_bits
+    if wrap is None:
+        wrap = np.zeros(max(2 * cols - 2, 1), dtype=np.uint32)
+
+    s = _scratch(hdr.level, rows)
+    pcm = np.empty(max_blocks * rows * cols, dtype=np.int16)
+    events = np.zeros(max_events, dtype=np.int16)
+    tell = np.zeros(max_events, dtype=np.int64)
+
+    rc = lib.acm_decode_host(
+        data, len(data), start_bit, hdr.level, rows, max_blocks, max_events,
+        _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
+        _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
+        _ptr(s.col, ctypes.c_int16), _ptr(s.kbuf, ctypes.c_int16),
+        _ptr(s.xbuf, ctypes.c_uint32), _ptr(s.ybuf, ctypes.c_uint32),
+        _ptr(s.meta, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError("host decode: event capacity exceeded")
+    m = s.meta
+    n_good = int(m[0])
+    return HostDecode(
+        header=hdr,
+        pcm=pcm[: n_good * rows * cols],
+        n_good=n_good,
+        first_err=int(m[8]),
+        events=events[: int(m[1])].copy(),
+        status=int(m[2]),
+        oor=bool(m[9]),
+        end_bit=int(m[10]),
+        wrap=wrap,
+    )
+
+
+def synth_dense(
+    k: np.ndarray,  # int16 [nb, rows, cols] (C-contiguous)
+    vals: np.ndarray,  # uint16 [nb]
+    level: int,
+    rows: int,
+    wrap: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host synth of already-scanned dense blocks → (pcm int16 [nb, n], wrap).
+
+    The streaming path's host back-end (same math as ops.synth_jax but on
+    the CPU, for host-bound output); `wrap` is updated in place if given.
+    """
+    lib = _load()
+    assert lib is not None
+    cols = 1 << level
+    nb = k.shape[0]
+    if wrap is None:
+        wrap = np.zeros(max(2 * cols - 2, 1), dtype=np.uint32)
+    k = np.ascontiguousarray(k, dtype=np.int16)
+    vals = np.ascontiguousarray(vals, dtype=np.uint16)
+    s = _scratch(level, rows)
+    pcm = np.empty((nb, rows * cols), dtype=np.int16)
+    lib.acm_synth_dense(
+        _ptr(k, ctypes.c_int16), _ptr(vals, ctypes.c_uint16), nb, level, rows,
+        _ptr(wrap, ctypes.c_uint32), _ptr(s.xbuf, ctypes.c_uint32),
+        _ptr(s.ybuf, ctypes.c_uint32), _ptr(pcm, ctypes.c_int16),
+    )
+    return pcm, wrap

@@ -131,6 +131,7 @@ class AcmStream:
         self._scan: ScanResult | None = None
         self._pcm: np.ndarray | None = None  # int16 words for scanned blocks
         self._seek_raw_tell: np.ndarray | None = None
+        self._clean_until: int | None = None  # events[:clean_until] are all 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -168,7 +169,7 @@ class AcmStream:
             from .ops.synth_jax import decode_scan_result
 
             self._pcm = decode_scan_result(
-                self._ensure_scan(), backend=self._synth_backend or "jax"
+                self._ensure_scan(), backend=self._synth_backend or "auto"
             )
         return self._pcm
 
@@ -222,6 +223,50 @@ class AcmStream:
             self._cur_block += 1
         return out
 
+    def _ensure_clean_until(self) -> int:
+        """Index of the first failed decode attempt (len(events) if none)."""
+        if self._clean_until is None:
+            ev = self._ensure_scan().events
+            nz = np.flatnonzero(ev != 0)
+            self._clean_until = int(nz[0]) if len(nz) else len(ev)
+        return self._clean_until
+
+    def has_errors(self) -> bool:
+        """True if any decode attempt in the stream failed.
+
+        For a clean stream, read chunking is unobservable (errors are the
+        only thing acm_read_loop's partial-data-wins rule can swallow or
+        surface depending on chunk boundaries) — consumers like the CLI may
+        then read in large chunks without changing a single output byte.
+        """
+        return self._ensure_clean_until() < len(self._ensure_scan().events)
+
+    def _bulk_read(self, max_blocks: int, bigendianp: int, sgned: int):
+        """Read up to max_blocks whole clean blocks in one numpy slice.
+
+        State-transition-equivalent to that many _read_core iterations
+        (pop event → copy whole block → block complete), valid only from a
+        block boundary (not block_ready) with whole blocks inside
+        total_values and block_len a channel multiple — every clamp in
+        decode.c:848-857 is then a no-op. Returns formatted bytes or None.
+        """
+        h = self._header
+        bl = h.block_len
+        m = min(max_blocks,
+                self._ensure_clean_until() - self._event_idx,
+                (self.total_values - self._stream_pos) // bl)
+        if m <= 0:
+            return None
+        pcm = self._ensure_pcm()
+        start = self._blocks_popped * bl
+        out = _format_samples(pcm[start : start + m * bl], bigendianp, sgned)
+        self._event_idx += m
+        self._blocks_popped += m
+        self._cur_block = self._blocks_popped
+        self._stream_pos += m * bl
+        self._block_pos = bl  # same dead state a just-completed block leaves
+        return out
+
     # -- public read API ---------------------------------------------------
 
     def read(self, numbytes: int, bigendianp: int = 0, wordlen: int = 2,
@@ -242,7 +287,17 @@ class AcmStream:
         data wins over a trailing error; an immediate error raises."""
         got = bytearray()
         left = numbytes
+        h = self._header
+        bl = h.block_len
+        ch = self.info.channels
+        fast = wordlen == 2 and (ch <= 1 or bl % ch == 0)
         while left > 0:
+            if fast and not self._block_ready and left >= 2 * bl:
+                res = self._bulk_read(left // (2 * bl), bigendianp, sgned)
+                if res:
+                    got += res
+                    left -= len(res)
+                    continue
             res = self._read_core(left, False, bigendianp, wordlen, sgned)
             if isinstance(res, int):  # error code
                 if not got:

@@ -1,0 +1,103 @@
+"""Tests of the fused native host decode path (`_scan.cpp acm_decode_host`,
+`acm_synth_dense`) — the host-output fast path must stay bit-identical to
+the device backends and the oracle on every stream class, including
+corrupt/truncated/stale-amp-table ones.
+"""
+
+import numpy as np
+import pytest
+
+from libacm_tpu import testing
+from libacm_tpu.parallel import decode_corpus
+from libacm_tpu.scan import native, oracle
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native scanner unavailable")
+
+
+def _random_stream(rng):
+    level = int(rng.integers(0, 9))
+    rows = int(rng.integers(1, 256))
+    nb = int(rng.integers(1, 7))
+    data = testing.random_acm_bytes(
+        rng, level=level, rows=rows, n_blocks=nb,
+        channels=int(rng.integers(1, 3)), wavc=bool(rng.integers(0, 2)),
+        max_pwr=15)
+    if rng.integers(0, 3) == 0:  # truncate: EOF quirks
+        data = data[: int(rng.integers(14, len(data) + 1))]
+    if rng.integers(0, 3) == 0:  # corrupt payload: error events
+        data = bytearray(data)
+        pos = int(rng.integers(14, len(data))) if len(data) > 14 else 0
+        if pos:
+            data[pos] ^= 1 << int(rng.integers(0, 8))
+        data = bytes(data)
+    return data
+
+
+def test_corpus_host_matches_device_backend():
+    rng = np.random.default_rng(42)
+    streams = [_random_stream(rng) for _ in range(30)]
+    host = decode_corpus(streams, backend="host")
+    dev = decode_corpus(streams, backend="jax")
+    for h, d in zip(host, dev):
+        assert h.status == d.status and h.filler_words == d.filler_words
+        if h.pcm is None:
+            assert d.pcm is None
+        else:
+            np.testing.assert_array_equal(h.pcm, d.pcm)
+
+
+def test_decode_host_matches_oracle_events_and_pcm():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        data = _random_stream(rng)
+        hdr = oracle.parse_header(oracle.BitReader(data))
+        if hdr is None:
+            continue
+        hd = native.decode_host(data)
+        scan = oracle.scan_bytes(data)
+        np.testing.assert_array_equal(hd.events, scan.events)
+        assert hd.n_good == scan.n_blocks
+        assert hd.status == scan.status
+        if hd.oor:
+            continue  # callers use the oracle for stale-amp streams
+        want = oracle.words_to_pcm(oracle.synth_all(scan), hdr.level)
+        np.testing.assert_array_equal(hd.pcm, want.reshape(-1))
+
+
+def test_decode_host_windowed_resume():
+    """Windowed decode (N blocks at a time, threading end_bit + wrap) must
+    be byte-identical to the one-shot decode — the foundation of the
+    bounded-memory streaming mode."""
+    rng = np.random.default_rng(3)
+    for level, rows, nb in [(7, 16, 9), (0, 50, 5), (3, 1, 7), (5, 33, 4)]:
+        data = testing.speech_acm_bytes(rng, level=level, rows=rows,
+                                        n_blocks=nb)
+        full = native.decode_host(data)
+        hdr = full.header
+        wrap = np.zeros(max(2 * hdr.cols - 2, 1), dtype=np.uint32)
+        bit = 8 * hdr.data_start
+        got = []
+        for _ in range(100):
+            w = native.decode_host(data, hdr, max_blocks=2, start_bit=bit,
+                                   wrap=wrap)
+            got.append(w.pcm)
+            wrap = w.wrap
+            bit = w.end_bit
+            if w.status != 0 or w.n_good == 0:
+                break
+        np.testing.assert_array_equal(np.concatenate(got), full.pcm)
+
+
+def test_synth_dense_matches_decode_scan_result_jax():
+    from libacm_tpu.ops.synth_jax import decode_scan_result
+
+    rng = np.random.default_rng(11)
+    for level, rows in [(7, 16), (4, 100), (0, 8), (8, 3)]:
+        data = testing.speech_acm_bytes(rng, level=level, rows=rows,
+                                        n_blocks=4)
+        scan = native.scan_bytes(data)
+        host = decode_scan_result(scan, backend="host")
+        jaxp = decode_scan_result(scan, backend="jax")
+        np.testing.assert_array_equal(host, jaxp)

@@ -149,7 +149,11 @@ def play_file(fn: str, cf: _Config) -> None:
         raise SystemExit(1)
 
     try:
-        acm = acm_open_file(fn, cf.force_chans)
+        # windowed stream: sound starts after ONE decoded window and the
+        # whole play stays O(window) memory, like the reference's lazy
+        # per-block pipeline (acmtool.c:96-156); falls back to full-file
+        # decode if the native scanner is unavailable
+        acm = acm_open_file(fn, cf.force_chans, window_blocks=8)
     except AcmException as e:
         print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
         return

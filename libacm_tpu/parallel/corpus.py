@@ -626,14 +626,14 @@ def decode_corpus_host(
             channels=resolve_channels(header.channels, header.wavc_file,
                                       force_chans),
         )
+        # bit-exact even on stale-amp-table streams: the fused native
+        # decoder reproduces the reference's stale reads via the virtual
+        # table (see SynthEmitter in _scan.cpp) — no oracle fallback
         hd = _native.decode_host(data, header)
-        if hd.oor:
-            _host_decode_fallback(e)  # stale-amp-table stream: oracle path
-        else:
-            e.n_good = hd.n_good
-            e.first_err = hd.first_err
-            e.events = hd.events
-            e.host_pcm = hd.pcm
+        e.n_good = hd.n_good
+        e.first_err = hd.first_err
+        e.events = hd.events
+        e.host_pcm = hd.pcm
         results.append(_finalize(e, e.host_pcm, header.block_len))
     return results
 

@@ -39,6 +39,10 @@ namespace {
 constexpr int16_t ERR_CORRUPT = -6;
 constexpr int16_t ERR_UNEXPECTED_EOF = -7;
 constexpr int64_t EXPECTED_EOF = -99;
+// Windowed (non-final) scan only: the buffer ran dry mid-attempt; the
+// attempt was rolled back and meta[10] holds the bit position to retry
+// from once more bytes arrive. Never produced when the data is final.
+constexpr int64_t NEED_MORE_DATA = -98;
 
 struct BitReader {
   const uint8_t* data;
@@ -49,8 +53,10 @@ struct BitReader {
   int avail = 0;
   bool fail = false;  // sticky until the caller handles it
 
-  BitReader(const uint8_t* d, int64_t n)
-      : data(d), len(n), total_bits(8 * (n + 1)) {}
+  // final=false (windowed scan over a partial buffer): no phantom zero
+  // byte — bits past the buffer mean "need more data", not EOF.
+  BitReader(const uint8_t* d, int64_t n, bool final_data = true)
+      : data(d), len(n), total_bits(final_data ? 8 * (n + 1) : 8 * n) {}
 
   inline uint32_t get(int n) {
     if (avail >= n) {
@@ -583,9 +589,21 @@ int decode_column_fast(BitReader& b, int ind, int rows, int16_t* col) {
 
 // Shared scan driver, parameterized by an emitter:
 //   void begin_block();                 -- checkpoint (for rollback)
+//   void table_update(uint32_t pwr, uint32_t val);  -- amp-table write
+//     (after every successful pwr/val read, even for attempts that later
+//      fail — the reference regenerates the table first, decode.c:591-599)
 //   void emit_column(int c, const int16_t* col);
-//   void commit_block(uint32_t pwr, uint32_t val);
+//   void commit_block(uint32_t pwr, uint32_t val, bool oor);
 //   void rollback_block();
+//
+// final_data=false (windowed scan): the buffer is a prefix of the stream;
+// running out of bits mid-attempt rolls the attempt back and stops with
+// status NEED_MORE_DATA, meta[10] = the attempt's start bit (retry once
+// more bytes arrive). A retried attempt re-reads the same pwr/val, so the
+// rolled-back table_update is re-applied identically (idempotent).
+// tell_bits=true records per-event *consumed-bit* positions in tell_out
+// instead of loaded bytes (windowed raw_tell reconstructs the strict
+// loaded-byte pacing from them in O(1): loaded = min(ceil(B/32)*32, end)).
 template <typename Emitter, bool FAST = false>
 int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                     int32_t /*level*/, int32_t rows, int32_t cols,
@@ -593,18 +611,24 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                     int16_t* events_out, int64_t* tell_out, int64_t* meta,
                     int16_t* col_tmp, Emitter& em,
                     bool stop_on_error = false,
-                    int64_t* bitpos_out = nullptr) {
-  BitReader b(data, nbytes);
+                    int64_t* bitpos_out = nullptr,
+                    bool final_data = true,
+                    bool tell_bits = false) {
+  BitReader b(data, nbytes, final_data);
   b.seek_to_bit(skip_bits);
   meta[4] = b.loaded_bytes();
 
   int64_t n_blocks = 0, n_events = 0, status = 0, oor_flag = 0;
+  int64_t resume_bit = skip_bits;
   while (n_blocks < max_blocks) {
-    int64_t attempt_bit = b.consumed_bits();
+    // max(): when skip_bits lies beyond a short window, seek_to_bit
+    // clamps and consumed_bits() would under-report the resume point
+    int64_t attempt_bit = std::max(b.consumed_bits(), skip_bits);
+    resume_bit = attempt_bit;
     uint32_t pwr = b.get(4);
     uint32_t val = b.get(16);
     if (b.fail) {
-      status = EXPECTED_EOF;
+      status = final_data ? EXPECTED_EOF : NEED_MORE_DATA;
       break;
     }
     if (n_events >= max_events) {
@@ -612,9 +636,11 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
       meta[3] = b.loaded_bytes();
       return -1;
     }
+    em.table_update(pwr, val);
     em.begin_block();
     int outcome = 0;
     bool clean_eof = false;
+    bool block_oor = false;
     for (int c = 0; c < cols; c++) {
       uint32_t ind = b.get(5);
       if (b.fail) {
@@ -629,11 +655,12 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
       if (outcome != 0) break;
       // stale-amp-table detection: a filler can emit indexes outside the
       // current block's table [-count, count-1] (corrupt streams only);
-      // the reference then reads stale table memory. Flag such blocks —
-      // callers fall back to the Python oracle, which reproduces the
-      // stale-table values exactly. Only fillers whose range can exceed
-      // the table need scanning (linear wider than pwr+1; maps when
-      // count < 8; t37 when count < 5).
+      // the reference then reads stale table memory. Such blocks are
+      // flagged — emitters that compute values (SynthEmitter) reproduce
+      // the stale reads exactly via the virtual table; index-shipping
+      // emitters leave the fallback to the caller. Only fillers whose
+      // range can exceed the table need scanning (linear wider than
+      // pwr+1; maps when count < 8; t37 when count < 5).
       {
         int maxk = (ind >= 3 && ind <= 16) ? (1 << (ind - 1))
                    : (ind == 29 ? 5 : (ind == 26 || ind == 27 ? 4
@@ -647,6 +674,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
             int v = col_tmp[i2];
             if (v < -count || v > count - 1) {
               oor_flag = 1;
+              block_oor = true;
               break;
             }
           }
@@ -656,16 +684,25 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
     }
     if (clean_eof) {
       em.rollback_block();
-      status = EXPECTED_EOF;
+      status = final_data ? EXPECTED_EOF : NEED_MORE_DATA;
       break;
     }
-    if (b.fail) b.fail = false;  // unexpected EOF: keep scanning after event
+    if (b.fail) {
+      b.fail = false;  // unexpected EOF: keep scanning after the event
+      if (!final_data && outcome == ERR_UNEXPECTED_EOF) {
+        // windowed: the filler ran dry because the window ended, not
+        // because the stream did — retry the whole attempt with more data
+        em.rollback_block();
+        status = NEED_MORE_DATA;
+        break;
+      }
+    }
     events_out[n_events] = static_cast<int16_t>(outcome);
-    tell_out[n_events] = b.loaded_bytes();
+    tell_out[n_events] = tell_bits ? b.consumed_bits() : b.loaded_bytes();
     n_events++;
     if (outcome == 0) {
       if (bitpos_out) bitpos_out[n_blocks] = attempt_bit;
-      em.commit_block(pwr, val);
+      em.commit_block(pwr, val, block_oor);
       n_blocks++;
     } else {
       em.rollback_block();
@@ -677,7 +714,9 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
   meta[2] = status;
   meta[3] = b.loaded_bytes();
   meta[9] = oor_flag;
-  meta[10] = b.consumed_bits();  // resume point for windowed decode
+  // resume point for windowed decode: where the next attempt starts
+  // (== the rolled-back attempt's start bit after NEED_MORE_DATA)
+  meta[10] = status == NEED_MORE_DATA ? resume_bit : b.consumed_bits();
   return 0;
 }
 
@@ -692,11 +731,12 @@ struct DenseEmitter {
   void begin_block() {
     std::memset(k_out + nb * block_elems, 0, block_elems * sizeof(int16_t));
   }
+  void table_update(uint32_t, uint32_t) {}  // ships indexes, not values
   void emit_column(int c, const int16_t* col) {
     int16_t* base = k_out + nb * block_elems + c;
     for (int i = 0; i < rows; i++) base[static_cast<int64_t>(i) * cols] = col[i];
   }
-  void commit_block(uint32_t pwr, uint32_t val) {
+  void commit_block(uint32_t pwr, uint32_t val, bool /*oor*/) {
     pwr_out[nb] = static_cast<uint8_t>(pwr);
     val_out[nb] = static_cast<uint16_t>(val);
     nb++;
@@ -788,6 +828,14 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
 // one cache-resident pass per block, no dense-tensor materialization.
 // Failed decode attempts never touch `wrap` (the reference's juggle only
 // runs on successfully filled blocks, decode.c:600-607).
+//
+// Stale-amp-table semantics (hostile/corrupt streams only) are exact: the
+// reference's persistent 64 Ki-entry table holds, for entry k, k * (the
+// val of the most recent attempt whose table covered k) — so a virtual
+// table of one val per exponent suffices (same trick as the oracle,
+// oracle.py scan_blocks). Entries never covered read the calloc-zeroed
+// table => 0. Updated on EVERY successful pwr/val read (even attempts
+// that later fail), like the reference's table regeneration.
 struct SynthEmitter {
   int16_t* pcm_out;  // [max_blocks * rows * cols]
   uint32_t* wrap;    // [2*cols-2] in/out carry
@@ -797,18 +845,59 @@ struct SynthEmitter {
   int level, rows, cols;
   int64_t block_elems;
   int64_t nb = 0;
+  uint32_t last_val[17] = {0};  // virtual amp table: val per exponent
+  bool covered[17] = {false};
 
   void begin_block() {
     std::memset(kbuf, 0, block_elems * sizeof(int16_t));
+  }
+  void table_update(uint32_t pwr, uint32_t val) {
+    for (uint32_t e = 0; e <= pwr && e < 17; e++) {
+      last_val[e] = val;
+      covered[e] = true;
+    }
   }
   void emit_column(int c, const int16_t* col) {
     int16_t* base = kbuf + c;
     for (int i = 0; i < rows; i++)
       base[static_cast<int64_t>(i) * cols] = col[i];
   }
-  void commit_block(uint32_t /*pwr*/, uint32_t val) {
-    synth_pcm_block(kbuf, val, level, rows, cols, wrap, xbuf, ybuf,
-                    pcm_out + nb * block_elems);
+  // Exponent of table entry k (k != 0): the smallest pwr whose table
+  // [-2^pwr, 2^pwr-1] covers k. ceil(log2(k+1)) for k>0, ceil(log2(-k))
+  // for k<0 — matches the oracle's exception formula.
+  static inline int exp_of(int k) {
+    uint32_t m = k > 0 ? static_cast<uint32_t>(k + 1)
+                       : static_cast<uint32_t>(-k);
+    if (m <= 1) return 0;
+    return 32 - __builtin_clz(m - 1);
+  }
+  void commit_block(uint32_t pwr, uint32_t val, bool oor) {
+    if (!oor) {
+      synth_pcm_block(kbuf, val, level, rows, cols, wrap, xbuf, ybuf,
+                      pcm_out + nb * block_elems);
+    } else {
+      // dequantize with stale-table reads for out-of-range indexes
+      const int count = 1 << pwr;
+      for (int64_t i = 0; i < block_elems; i++) {
+        int k = kbuf[i];
+        uint32_t v;
+        if (k >= -count && k <= count - 1) {
+          v = static_cast<uint32_t>(static_cast<int32_t>(k)) * val;
+        } else {
+          int e = exp_of(k);
+          v = covered[e]
+                  ? static_cast<uint32_t>(static_cast<int32_t>(k)) *
+                        last_val[e]
+                  : 0;
+        }
+        xbuf[i] = v;
+      }
+      const uint32_t* res =
+          synth_block_host(xbuf, ybuf, wrap, level, rows, cols);
+      int16_t* dst = pcm_out + nb * block_elems;
+      for (int64_t i = 0; i < block_elems; i++)
+        dst[i] = static_cast<int16_t>(static_cast<int32_t>(res[i]) >> level);
+    }
     nb++;
   }
   void rollback_block() {}
@@ -837,6 +926,7 @@ struct PackedEmitter {
     s4 = n4; s8 = n8; s16 = n16;
     std::memset(cls_out + nb * cls_stride(), 0, cls_stride());
   }
+  void table_update(uint32_t, uint32_t) {}  // ships indexes, not values
   void emit_column(int c, const int16_t* col) {
     int16_t mn = 0, mx = 0;
     for (int i = 0; i < rows; i++) {
@@ -868,7 +958,7 @@ struct PackedEmitter {
     cls_out[nb * cls_stride() + (c >> 2)] |=
         code << ((c & 3) * 2);
   }
-  void commit_block(uint32_t pwr, uint32_t val) {
+  void commit_block(uint32_t pwr, uint32_t val, bool /*oor*/) {
     pwr_out[nb] = static_cast<uint8_t>(pwr);
     val_out[nb] = static_cast<uint16_t>(val);
     nb++;
@@ -987,21 +1077,45 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
 // Scanning continues past failed attempts (events record them; meta[8] =
 // first error). pcm_out: [max_blocks*rows*cols]; kbuf int16 / xbuf / ybuf
 // uint32 scratch, each [rows*cols].
+//
+// final=0: `data` is a partial window, not the whole stream — no phantom
+// EOF byte; running dry rolls the attempt back and returns status
+// NEED_MORE_DATA with meta[10] = the retry bit. Stale-amp-table state
+// (tbl_val/tbl_cov, 17 x uint32/int64 caller-owned, zero-initialized at
+// stream start) threads across windows like `wrap`; PCM is exact even on
+// hostile streams (no oracle fallback needed). tell_out records per-event
+// consumed-bit positions (windowed raw_tell is reconstructed from them).
 int64_t acm_decode_host(const uint8_t* data, int64_t nbytes,
                         int64_t skip_bits, int32_t level, int32_t rows,
                         int64_t max_blocks, int64_t max_events,
                         int16_t* pcm_out, uint32_t* wrap,
                         int16_t* events_out, int64_t* tell_out,
                         int16_t* col_tmp, int16_t* kbuf,
-                        uint32_t* xbuf, uint32_t* ybuf, int64_t* meta) {
+                        uint32_t* xbuf, uint32_t* ybuf, int64_t* meta,
+                        int32_t final_data, uint32_t* tbl_val,
+                        int64_t* tbl_cov) {
   const int cols = 1 << level;
   // xbuf/ybuf are [rows*cols + cols]; the first cols words are the
   // history headroom synth_block_host writes before each pass sweep
   SynthEmitter em{pcm_out, wrap, kbuf, xbuf + cols, ybuf + cols, level, rows,
                   cols, static_cast<int64_t>(rows) * cols};
+  if (tbl_val != nullptr) {
+    for (int e = 0; e < 17; e++) {
+      em.last_val[e] = tbl_val[e];
+      em.covered[e] = tbl_cov[e] != 0;
+    }
+  }
   int64_t rc = scan_driver<SynthEmitter, /*FAST=*/true>(
       data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
-      events_out, tell_out, meta, col_tmp, em);
+      events_out, tell_out, meta, col_tmp, em,
+      /*stop_on_error=*/false, /*bitpos_out=*/nullptr,
+      /*final_data=*/final_data != 0, /*tell_bits=*/true);
+  if (tbl_val != nullptr) {
+    for (int e = 0; e < 17; e++) {
+      tbl_val[e] = em.last_val[e];
+      tbl_cov[e] = em.covered[e] ? 1 : 0;
+    }
+  }
   meta[8] = 0;
   for (int64_t i = 0; i < meta[1]; i++) {
     if (events_out[i] != 0) {

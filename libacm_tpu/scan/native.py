@@ -105,6 +105,9 @@ def _load():
         ctypes.POINTER(ctypes.c_int16),  # kbuf
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,  # final_data
+        ctypes.POINTER(ctypes.c_uint32),  # tbl_val [17] (nullable)
+        ctypes.POINTER(ctypes.c_int64),  # tbl_cov [17] (nullable)
     ]
     fs = lib.acm_synth_dense
     fs.restype = ctypes.c_int64
@@ -350,6 +353,11 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     )
 
 
+#: Windowed scan only: the buffer ran dry mid-attempt (attempt rolled
+#: back; retry from `end_bit` once more bytes arrive).
+NEED_MORE_DATA = -98
+
+
 @dataclasses.dataclass
 class HostDecode:
     """Output of the fused host scan+synth path (`acm_decode_host`)."""
@@ -360,14 +368,18 @@ class HostDecode:
     n_good: int
     first_err: int  # first error event, 0 if clean
     events: np.ndarray
-    status: int  # terminal scan status (0 / ACM_EXPECTED_EOF)
-    #: stream has out-of-range coefficient indexes (stale-amp-table
-    #: semantics) — this PCM is NOT bit-exact; use the oracle instead
+    #: terminal scan status (0 / ACM_EXPECTED_EOF / NEED_MORE_DATA)
+    status: int
+    #: stream has out-of-range coefficient indexes. Informational only:
+    #: the PCM is still bit-exact — the emitter reproduces the reference's
+    #: stale-amp-table reads via a virtual table (same trick as the oracle)
     oor: bool
     #: absolute consumed-bit position after the last attempt (resume point
     #: for the next window) and the filterbank carry at that point
     end_bit: int
     wrap: np.ndarray  # uint32 [2*cols-2]
+    #: per-event consumed-bit positions (windowed raw_tell reconstruction)
+    ev_bits: np.ndarray | None = None
 
 
 class HostDecodeScratch:
@@ -396,6 +408,61 @@ def _scratch(level: int, rows: int) -> HostDecodeScratch:
     return s
 
 
+@dataclasses.dataclass
+class AmpTable:
+    """Virtual stale-amp-table state threaded across decode windows.
+
+    One `val` per exponent (the reference's persistent 64 Ki table holds
+    k * (val of the most recent attempt covering k); see SynthEmitter in
+    _scan.cpp). Zero/uncovered at stream start = the reference's
+    calloc-zeroed table.
+    """
+
+    val: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(17, dtype=np.uint32))
+    cov: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(17, dtype=np.int64))
+
+
+def _decode_host_raw(
+    lib, data, hdr: AcmHeader, max_blocks: int, max_events: int,
+    start_bit: int, wrap: np.ndarray, final: bool, table: AmpTable | None,
+) -> HostDecode:
+    rows, cols = hdr.rows, hdr.cols
+    s = _scratch(hdr.level, rows)
+    pcm = np.empty(max_blocks * rows * cols, dtype=np.int16)
+    events = np.zeros(max_events, dtype=np.int16)
+    tell = np.zeros(max_events, dtype=np.int64)
+    rc = lib.acm_decode_host(
+        data, len(data), start_bit, hdr.level, rows, max_blocks, max_events,
+        _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
+        _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
+        _ptr(s.col, ctypes.c_int16), _ptr(s.kbuf, ctypes.c_int16),
+        _ptr(s.xbuf, ctypes.c_uint32), _ptr(s.ybuf, ctypes.c_uint32),
+        _ptr(s.meta, ctypes.c_int64),
+        1 if final else 0,
+        _ptr(table.val, ctypes.c_uint32) if table is not None else None,
+        _ptr(table.cov, ctypes.c_int64) if table is not None else None,
+    )
+    if rc != 0:
+        raise RuntimeError("host decode: event capacity exceeded")
+    m = s.meta
+    n_good = int(m[0])
+    n_events = int(m[1])
+    return HostDecode(
+        header=hdr,
+        pcm=pcm[: n_good * rows * cols],
+        n_good=n_good,
+        first_err=int(m[8]),
+        events=events[:n_events].copy(),
+        status=int(m[2]),
+        oor=bool(m[9]),
+        end_bit=int(m[10]),
+        wrap=wrap,
+        ev_bits=tell[:n_events].copy(),
+    )
+
+
 def decode_host(
     data: bytes,
     header: AcmHeader | None = None,
@@ -409,46 +476,57 @@ def decode_host(
     decode.c:580-625, in one cache-resident C++ sweep). `start_bit`/`wrap`
     resume a previous window's `end_bit`/`wrap` for bounded-memory
     streaming decode; by default decodes the whole stream from the header.
-    Callers must check `oor` and fall back to the oracle (stale-amp-table
-    streams cannot be synthesized from k*val alone).
+    Bit-exact even on hostile streams with out-of-range coefficient
+    indexes (the stale-amp-table reads are reproduced natively; `oor` is
+    informational). NOTE: a mid-stream `start_bit` resume reproduces the
+    one-shot decode only when the amp-table state is also threaded — use
+    `decode_host_window` for that; this convenience entry starts with a
+    fresh (stream-start) table.
     """
     lib, hdr, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
     if header is not None:
         hdr = header
-    rows, cols = hdr.rows, hdr.cols
     if start_bit is None:
         start_bit = skip_bits
     if wrap is None:
-        wrap = np.zeros(max(2 * cols - 2, 1), dtype=np.uint32)
+        wrap = np.zeros(max(2 * hdr.cols - 2, 1), dtype=np.uint32)
+    return _decode_host_raw(lib, data, hdr, max_blocks, max_events,
+                            start_bit, wrap, final=True, table=None)
 
-    s = _scratch(hdr.level, rows)
-    pcm = np.empty(max_blocks * rows * cols, dtype=np.int16)
-    events = np.zeros(max_events, dtype=np.int16)
-    tell = np.zeros(max_events, dtype=np.int64)
 
-    rc = lib.acm_decode_host(
-        data, len(data), start_bit, hdr.level, rows, max_blocks, max_events,
-        _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
-        _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
-        _ptr(s.col, ctypes.c_int16), _ptr(s.kbuf, ctypes.c_int16),
-        _ptr(s.xbuf, ctypes.c_uint32), _ptr(s.ybuf, ctypes.c_uint32),
-        _ptr(s.meta, ctypes.c_int64),
-    )
-    if rc != 0:
-        raise RuntimeError("host decode: event capacity exceeded")
-    m = s.meta
-    n_good = int(m[0])
-    return HostDecode(
-        header=hdr,
-        pcm=pcm[: n_good * rows * cols],
-        n_good=n_good,
-        first_err=int(m[8]),
-        events=events[: int(m[1])].copy(),
-        status=int(m[2]),
-        oor=bool(m[9]),
-        end_bit=int(m[10]),
-        wrap=wrap,
-    )
+def decode_host_window(
+    buf: bytes,
+    level: int,
+    rows: int,
+    start_bit: int,
+    wrap: np.ndarray,
+    table: AmpTable,
+    max_blocks: int,
+    final: bool,
+    wavc_file: bool = False,
+) -> HostDecode:
+    """Windowed host decode over a partial buffer (bounded-memory streaming).
+
+    `buf` is a byte window of the stream (its bit 0 at some absolute
+    stream position the caller tracks); `start_bit` is relative to `buf`.
+    `final=False` means more bytes may follow: no phantom EOF byte is
+    assumed, and running dry rolls the attempt back, returning status
+    NEED_MORE_DATA with `end_bit` = the retry position. `wrap` (uint32
+    [2*cols-2], updated in place) and `table` thread the filterbank carry
+    and stale-amp-table state across windows; threaded this way, windowed
+    decode is byte-identical to a one-shot decode (tested in
+    tests/test_stream_windowed.py). The reference streams with the same
+    O(64 KiB + block) footprint (decode.c:29,41-67).
+    """
+    lib = _load()
+    assert lib is not None
+    hdr = AcmHeader(total_values=1, channels=1, rate=4096, level=level,
+                    rows=rows, wavc_file=wavc_file)
+    byte_cap = (8 * (len(buf) + 1)) // (20 + 5 * hdr.cols) + 2
+    max_blocks = min(max_blocks, byte_cap)
+    max_events = (8 * (len(buf) + 1)) // 20 + 4
+    return _decode_host_raw(lib, buf, hdr, max_blocks, max_events,
+                            start_bit, wrap, final=final, table=table)
 
 
 def synth_dense(

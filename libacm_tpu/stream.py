@@ -79,23 +79,180 @@ class DecodeState:
         return cls(**json.loads(s))
 
 
+class _Window:
+    """Bounded-memory incremental decode over an `AcmIO` source.
+
+    The reference decodes any stream in O(64 KiB + block) memory from
+    arbitrary IO (decode.c:29, 41-67); this is that capability on the
+    fused native pipeline: a sliding byte window plus up to
+    `window_blocks` decoded blocks resident, with the filterbank carry
+    and stale-amp-table state threaded across windows
+    (scan.native.decode_host_window). Byte-identical to the slurped
+    full-file decode (tests/test_stream_windowed.py).
+    """
+
+    CHUNK = 64 * 1024  # source read granularity (= the C's ACM_BUFLEN)
+
+    def __init__(self, stream: "AcmStream", window_blocks: int,
+                 head: bytes, head_eof: bool):
+        from .scan import native as _native
+
+        self._native = _native
+        self.s = stream
+        self.h = stream._header
+        self.wb = max(1, window_blocks)
+        self.cap = self.h.n_blocks
+        self.buf = bytearray(head)
+        self.base = 0  # absolute file offset of buf[0]
+        self.src_eof = head_eof
+        self.file_len: int | None = len(head) if head_eof else None
+        self.resume = 8 * self.h.data_start  # absolute next-attempt bit
+        self.wrap = np.zeros(max(self.h.wrapbuf_len, 1), dtype=np.uint32)
+        self.table = _native.AmpTable()
+        self.events: list[int] = []
+        self.ev_bits: list[int] = []  # absolute consumed-bit per event
+        self.blocks: dict[int, np.ndarray] = {}  # committed idx -> words
+        self._floor = 0
+        self.committed = 0
+        self.terminal = False  # no further events will ever be produced
+        self.end_bits: int | None = None  # consumed bits at terminal
+
+    def _fill(self) -> None:
+        """One decode/IO round; guaranteed to make progress."""
+        if self.terminal:
+            return
+        if self.committed >= self.cap:
+            self.terminal = True
+            self.end_bits = self.resume
+            return
+        hd = self._native.decode_host_window(
+            bytes(self.buf), self.h.level, self.h.rows,
+            self.resume - 8 * self.base, self.wrap, self.table,
+            max_blocks=min(self.wb, self.cap - self.committed),
+            final=self.src_eof, wavc_file=self.h.wavc_file,
+        )
+        bl = self.h.block_len
+        for j in range(hd.n_good):
+            self.blocks[self.committed + j] = hd.pcm[j * bl : (j + 1) * bl].copy()
+        self.committed += hd.n_good
+        self.events.extend(int(x) for x in hd.events)
+        self.ev_bits.extend(8 * self.base + int(x) for x in hd.ev_bits)
+        self.resume = 8 * self.base + hd.end_bit
+        drop = min((self.resume >> 3) - self.base, len(self.buf))
+        del self.buf[: drop]
+        self.base += drop
+        if hd.status == self._native.NEED_MORE_DATA:
+            if self.committed >= self.cap:
+                self.terminal = True
+                self.end_bits = self.resume
+                return
+            chunk = self.s._src.read(self.CHUNK)
+            if not chunk:
+                self.src_eof = True
+                self.file_len = self.base + len(self.buf)
+            else:
+                self.buf += chunk
+            return
+        if hd.status == ACM_EXPECTED_EOF or self.committed >= self.cap:
+            self.terminal = True
+            self.end_bits = self.resume
+
+    def ensure_event(self, idx: int) -> int | None:
+        """Event for attempt `idx`, decoding forward as needed (None: EOF)."""
+        while idx >= len(self.events) and not self.terminal:
+            self._fill()
+        return self.events[idx] if idx < len(self.events) else None
+
+    def block_words(self, abs_idx: int) -> np.ndarray:
+        return self.blocks[abs_idx]
+
+    def drop_below(self, abs_idx: int) -> None:
+        while self._floor < abs_idx:
+            self.blocks.pop(self._floor, None)
+            self._floor += 1
+
+    def resident_bytes(self) -> int:
+        """Window memory footprint (observability / boundedness tests)."""
+        return len(self.buf) + sum(b.nbytes for b in self.blocks.values())
+
+    def ensure_extent(self, abs_bytes: int) -> None:
+        """Pull source bytes until the file provably reaches `abs_bytes`
+        or EOF is found (raw_tell needs to know whether the strict
+        reader's final reload would be truncated; the C reads 64 KiB
+        ahead anyway, decode.c:41-67)."""
+        while self.file_len is None and self.base + len(self.buf) < abs_bytes:
+            chunk = self.s._src.read(self.CHUNK)
+            if not chunk:
+                self.src_eof = True
+                self.file_len = self.base + len(self.buf)
+                return
+            self.buf += chunk
+
+    def reset(self) -> None:
+        """Backward-seek reset (util.c:230-241): restart at data_start."""
+        self.s._src.seek(self.h.data_start)
+        self.buf = bytearray()
+        self.base = self.h.data_start
+        self.src_eof = False
+        self.resume = 8 * self.h.data_start
+        self.wrap[:] = 0
+        self.table = self._native.AmpTable()
+        self.events = []
+        self.ev_bits = []
+        self.blocks = {}
+        self._floor = 0
+        self.committed = 0
+        self.terminal = False
+        self.end_bits = None
+
+
 class AcmStream:
-    """One open ACM/WAVC stream (analog of `ACMStream`, libacm.h:71-100)."""
+    """One open ACM/WAVC stream (analog of `ACMStream`, libacm.h:71-100).
+
+    `window_blocks=N` selects bounded-memory streaming: the source is
+    consumed incrementally and at most N decoded blocks plus an O(64 KiB)
+    byte window stay resident — the reference's streaming-consumer shape
+    (decode.c:29, 41-67) — instead of the default whole-file decode.
+    Requires the native scanner (silently falls back to slurping
+    otherwise). `has_errors()` is unavailable in windowed mode.
+    """
 
     def __init__(self, src: acmio.AcmIO, force_chans: int = 0,
-                 synth_backend: str | None = None):
+                 synth_backend: str | None = None,
+                 window_blocks: int | None = None):
         self._src = src
         self._closed = False
         self._synth_backend = synth_backend
+        self._win: _Window | None = None
 
         # data_len: only via an explicit length capability (C: NULL
         # get_length_func ⇒ 0 ⇒ not seekable, util.c:152-155).
         self._data_len = src.length() if hasattr(src, "length") else 0
         self._can_seek = hasattr(src, "seek")
 
-        self._data = acmio.slurp(src)
+        use_window = False
+        if window_blocks is not None:
+            from .scan import native as _native
 
-        bits = BitReader(self._data)
+            use_window = _native.available()
+
+        if use_window:
+            # windowed: read just enough to parse the header (the parse
+            # touches <= ~48 bytes; same bits => same result as slurped)
+            head = bytearray()
+            head_eof = False
+            while len(head) < 64:
+                chunk = src.read(_Window.CHUNK)
+                if not chunk:
+                    head_eof = True
+                    break
+                head += chunk
+            self._data = None
+            bits = BitReader(bytes(head))
+        else:
+            self._data = acmio.slurp(src)
+            bits = BitReader(self._data)
+
         header = parse_header(bits)
         if header is None:
             # Any header failure maps to NOT_ACM (decode.c:783-784).
@@ -103,6 +260,8 @@ class AcmStream:
             raise AcmException(AcmError.ERR_NOT_ACM)
         self._header = header
         self._raw_tell0 = bits.loaded_bytes
+        if use_window:
+            self._win = _Window(self, window_blocks, bytes(head), head_eof)
 
         self.info = ACMInfo(
             channels=resolve_channels(header.channels, header.wavc_file, force_chans),
@@ -157,6 +316,7 @@ class AcmStream:
     # -- front/back-end plumbing ------------------------------------------
 
     def _ensure_scan(self) -> ScanResult:
+        assert self._win is None, "windowed mode never builds a full scan"
         if self._scan is None:
             bits = BitReader(self._data)
             hdr = parse_header(bits)
@@ -186,12 +346,20 @@ class AcmStream:
             return b""
 
         if not self._block_ready:
-            scan = self._ensure_scan()
-            if self._event_idx >= len(scan.events):
-                # terminal: EXPECTED_EOF or block cap → EOF (decode.c:842-843)
-                self._end_attempted = True
-                return b""
-            ev = int(scan.events[self._event_idx])
+            if self._win is not None:
+                ev_opt = self._win.ensure_event(self._event_idx)
+                if ev_opt is None:
+                    self._end_attempted = True
+                    return b""
+                ev = ev_opt
+            else:
+                scan = self._ensure_scan()
+                if self._event_idx >= len(scan.events):
+                    # terminal: EXPECTED_EOF or block cap → EOF
+                    # (decode.c:842-843)
+                    self._end_attempted = True
+                    return b""
+                ev = int(scan.events[self._event_idx])
             self._event_idx += 1
             if ev != 0:
                 # this attempt failed; the next read keeps going from the
@@ -211,6 +379,11 @@ class AcmStream:
 
         if simulate:
             out: bytes | int = numwords * wordlen
+        elif self._win is not None:
+            words = self._win.block_words(self._cur_block)
+            out = _format_samples(
+                words[self._block_pos : self._block_pos + numwords],
+                bigendianp, sgned)
         else:
             pcm = self._ensure_pcm()
             start = self._cur_block * h.block_len + self._block_pos
@@ -221,6 +394,8 @@ class AcmStream:
         if self._block_pos == h.block_len:
             self._block_ready = False
             self._cur_block += 1
+            if self._win is not None:
+                self._win.drop_below(self._blocks_popped)
         return out
 
     def _ensure_clean_until(self) -> int:
@@ -238,8 +413,38 @@ class AcmStream:
         only thing acm_read_loop's partial-data-wins rule can swallow or
         surface depending on chunk boundaries) — consumers like the CLI may
         then read in large chunks without changing a single output byte.
+        Unavailable in windowed mode (would force a full-stream decode).
         """
+        if self._win is not None:
+            raise RuntimeError("has_errors() requires full-file mode")
         return self._ensure_clean_until() < len(self._ensure_scan().events)
+
+    def _bulk_read_win(self, max_blocks: int, bigendianp: int, sgned: int):
+        """Windowed-mode analog of _bulk_read: copy up to one window of
+        whole clean blocks (never decodes further ahead than the window,
+        keeping residency bounded)."""
+        w = self._win
+        h = self._header
+        bl = h.block_len
+        lim = min(max_blocks, w.wb,
+                  (self.total_values - self._stream_pos) // bl)
+        m = 0
+        while m < lim:
+            ev = w.ensure_event(self._event_idx + m)
+            if ev is None or ev != 0:
+                break
+            m += 1
+        if m <= 0:
+            return None
+        parts = [w.block_words(self._blocks_popped + j) for j in range(m)]
+        out = _format_samples(np.concatenate(parts), bigendianp, sgned)
+        self._event_idx += m
+        self._blocks_popped += m
+        self._cur_block = self._blocks_popped
+        self._stream_pos += m * bl
+        self._block_pos = bl  # same dead state a just-completed block leaves
+        w.drop_below(self._blocks_popped)
+        return out
 
     def _bulk_read(self, max_blocks: int, bigendianp: int, sgned: int):
         """Read up to max_blocks whole clean blocks in one numpy slice.
@@ -293,7 +498,11 @@ class AcmStream:
         fast = wordlen == 2 and (ch <= 1 or bl % ch == 0)
         while left > 0:
             if fast and not self._block_ready and left >= 2 * bl:
-                res = self._bulk_read(left // (2 * bl), bigendianp, sgned)
+                if self._win is not None:
+                    res = self._bulk_read_win(left // (2 * bl), bigendianp,
+                                              sgned)
+                else:
+                    res = self._bulk_read(left // (2 * bl), bigendianp, sgned)
                 if res:
                     got += res
                     left -= len(res)
@@ -354,7 +563,8 @@ class AcmStream:
             if not self._can_seek:
                 raise AcmException(AcmError.ERR_NOT_SEEKABLE)
             # full reset incl. wrapbuf zeroing — our wrap state is implicit
-            # in the cached per-block synthesis, so only the cursor resets.
+            # in the cached per-block synthesis, so only the cursor resets
+            # (windowed mode really does reset + re-decode, like the C).
             self._stream_pos = 0
             self._block_pos = 0
             self._block_ready = False
@@ -363,6 +573,8 @@ class AcmStream:
             self._blocks_popped = 0
             self._end_attempted = False
             self._post_seek = True
+            if self._win is not None:
+                self._win.reset()
         while self._stream_pos < word_pos:
             step = min(2048, word_pos - self._stream_pos)
             res = self._read_core(step * 2, True, 0, 2, 1)
@@ -407,6 +619,48 @@ class AcmStream:
     def raw_total(self) -> int:
         return self._data_len
 
+    def _raw_tell_win(self) -> int:
+        """Windowed raw_tell: strict reload pacing reconstructed in O(1).
+
+        The strict reader's loaded-byte count after B consumed bits is
+        uniquely min(ceil(B/32)*32, 8*(len+1))/8 (32-bit on-demand reloads,
+        avail < 32 — the same invariant seek_to_bit relies on), so the
+        windowed scanner only records consumed-bit positions and the exact
+        loaded-byte figure is recomputed here; equality with the slurped
+        path is asserted in tests/test_stream_windowed.py.
+        """
+        w = self._win
+
+        def lb(B: int, total_bits: int | None) -> int:
+            v = -(-B // 32) * 32
+            if total_bits is not None:
+                v = min(v, total_bits)
+            return v // 8
+
+        # the clamp matters only when B sits inside the file's final
+        # (truncated) reload — resolve EOF by reading ahead if needed
+        if self._end_attempted:
+            w.ensure_extent(-(-w.end_bits // 32) * 4)
+        elif self._event_idx > 0:
+            w.ensure_extent(-(-w.ev_bits[self._event_idx - 1] // 32) * 4)
+
+        if not self._post_seek:
+            total = 8 * (w.file_len + 1) if w.file_len is not None else None
+            if self._end_attempted:
+                return lb(w.end_bits, total)
+            if self._event_idx > 0:
+                return lb(w.ev_bits[self._event_idx - 1], total)
+            return self._raw_tell0
+        ds = self._header.data_start
+        total = (8 * (w.file_len - ds + 1)
+                 if w.file_len is not None else None)
+        if self._end_attempted:
+            return ACM_HEADER_LEN + lb(w.end_bits - 8 * ds, total)
+        if self._event_idx > 0:
+            return ACM_HEADER_LEN + lb(w.ev_bits[self._event_idx - 1] - 8 * ds,
+                                       total)
+        return ACM_HEADER_LEN
+
     def raw_tell(self) -> int:
         """Bytes pulled into the bit reservoir so far (util.c:192-195).
 
@@ -414,6 +668,8 @@ class AcmStream:
         plain-ACM header length (util.c:239 — a quirk it keeps even for
         WAVC); the post-seek reload boundaries are re-simulated exactly.
         """
+        if self._win is not None:
+            return self._raw_tell_win()
         if not self._post_seek:
             if self._end_attempted:
                 return self._ensure_scan().raw_tell_end
@@ -477,12 +733,16 @@ def _as_source(src: Source) -> acmio.AcmIO:
     return src
 
 
-def acm_open_decoder(src: Source, force_chans: int = 0) -> AcmStream:
-    return AcmStream(_as_source(src), force_chans)
+def acm_open_decoder(src: Source, force_chans: int = 0,
+                     window_blocks: int | None = None) -> AcmStream:
+    return AcmStream(_as_source(src), force_chans,
+                     window_blocks=window_blocks)
 
 
-def acm_open_file(filename: str | os.PathLike, force_chans: int = 0) -> AcmStream:
-    return AcmStream(acmio.FileSource(filename), force_chans)
+def acm_open_file(filename: str | os.PathLike, force_chans: int = 0,
+                  window_blocks: int | None = None) -> AcmStream:
+    return AcmStream(acmio.FileSource(filename), force_chans,
+                     window_blocks=window_blocks)
 
 
 def acm_read(acm: AcmStream, numbytes: int, bigendianp: int = 0,

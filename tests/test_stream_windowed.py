@@ -1,0 +1,226 @@
+"""Bounded-memory windowed streaming vs the slurped full-file decode.
+
+The reference decodes any stream in O(64 KiB + block) memory from
+arbitrary IO (decode.c:29, 41-67; the player plugins stream interactively).
+AcmStream(window_blocks=N) is that capability here: these tests pin
+byte-equality with the whole-file path across hostile inputs, telemetry
+(raw_tell) parity, seek parity, and actual memory boundedness.
+"""
+
+import io
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from libacm_tpu import testing
+from libacm_tpu.format import AcmException
+from libacm_tpu.scan import native
+from libacm_tpu.stream import AcmStream, acm_open_decoder
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native scanner unavailable")
+
+
+class PipeSource:
+    """read()-only AcmIO: no seek, no length (like a network/VFS pipe)."""
+
+    def __init__(self, data: bytes, trickle: int | None = None):
+        self._b = io.BytesIO(data)
+        self._trickle = trickle  # cap per-read size (slow producer)
+
+    def read(self, size: int = -1) -> bytes:
+        if self._trickle is not None:
+            size = self._trickle if size < 0 else min(size, self._trickle)
+        return self._b.read(size)
+
+
+def _drain(s: AcmStream, chunk: int) -> bytes:
+    out = bytearray()
+    while True:
+        try:
+            got = s.read_loop(chunk)
+        except AcmException:
+            break
+        if not got:
+            break
+        out += got
+    return bytes(out)
+
+
+def _fuzz_stream(rng) -> bytes:
+    level = int(rng.integers(0, 9))
+    rows = int(rng.integers(1, 40))
+    nb = int(rng.integers(1, 12))
+    if rng.random() < 0.5:
+        data = testing.speech_acm_bytes(
+            rng, level=level, rows=rows, n_blocks=nb,
+            channels=int(rng.integers(1, 3)), wavc=bool(rng.integers(0, 2)))
+    else:
+        data = testing.random_acm_bytes(
+            rng, level=level, rows=rows, n_blocks=nb,
+            channels=int(rng.integers(1, 3)), wavc=bool(rng.integers(0, 2)),
+            max_pwr=int(rng.integers(0, 16)))
+    mut = rng.random()
+    if mut < 0.25 and len(data) > 20:
+        data = data[: int(rng.integers(14, len(data)))]
+    elif mut < 0.5:
+        b = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(14, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        data = bytes(b)
+    return data
+
+
+def test_windowed_equals_slurped_fuzzed():
+    """Byte-for-byte equality incl. truncated/corrupt/stale-amp streams,
+    via a read()-only source (no length, no seek)."""
+    rng = np.random.default_rng(20260816)
+    n = 0
+    for _ in range(60):
+        data = _fuzz_stream(rng)
+        try:
+            ref = acm_open_decoder(data)
+        except AcmException:
+            with pytest.raises(AcmException):
+                AcmStream(PipeSource(data), window_blocks=3)
+            continue
+        want = _drain(ref, 8192)
+        wb = int(rng.integers(1, 6))
+        chunk = int(rng.integers(64, 16384))
+        trickle = int(rng.integers(17, 4096)) if rng.random() < 0.5 else None
+        s = AcmStream(PipeSource(data, trickle), window_blocks=wb)
+        assert _drain(s, chunk) == want
+        assert not s.seekable()  # no length capability
+        n += 1
+    assert n > 40
+
+
+def test_windowed_error_surfacing():
+    """An immediate decode error raises in both modes at the same read."""
+    rng = np.random.default_rng(5)
+    data = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=6)
+    # corrupt block 3's filler region with an f_bad pattern storm
+    b = bytearray(data)
+    for i in range(60, 70):
+        b[i] ^= 0xFF
+    data = bytes(b)
+    ref = acm_open_decoder(data)
+    win = AcmStream(PipeSource(data), window_blocks=2)
+    # drive both with single-block reads so errors surface identically
+    bl2 = 2 * ref._header.block_len
+    while True:
+        try:
+            a = ref.read_loop(bl2)
+        except AcmException as e:
+            with pytest.raises(AcmException) as ei:
+                win.read_loop(bl2)
+            assert ei.value.code == e.code
+            continue
+        try:
+            c = win.read_loop(bl2)
+        except AcmException:
+            pytest.fail("windowed raised where slurped did not")
+        assert a == c
+        if not a:
+            break
+
+
+def test_windowed_raw_tell_parity():
+    """raw_tell's closed-form reconstruction == the strict scan, at every
+    attempt boundary, pre- and post-seek."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        data = _fuzz_stream(rng)
+        try:
+            ref = acm_open_decoder(data)
+        except AcmException:
+            continue
+        win = AcmStream(io.BytesIO(data), window_blocks=2)
+        step = max(2, 2 * ((ref._header.block_len * 2) // 3) // 2 * 2)
+        assert win.raw_tell() == ref.raw_tell()
+        while True:
+            try:
+                a = ref.read_loop(step)
+            except AcmException:
+                a = None
+            try:
+                b = win.read_loop(step)
+            except AcmException:
+                b = None
+            assert win.raw_tell() == ref.raw_tell()
+            assert a == b
+            if not a:
+                break
+
+
+def test_windowed_seek_parity():
+    rng = np.random.default_rng(13)
+    data = testing.speech_acm_bytes(rng, level=6, rows=12, n_blocks=20,
+                                    channels=2)
+    ref = acm_open_decoder(data)
+    win = AcmStream(io.BytesIO(data), window_blocks=3)
+    # forward seek
+    assert win.seek_pcm(1500) == ref.seek_pcm(1500)
+    assert win.read_loop(4096) == ref.read_loop(4096)
+    # backward seek (reset + re-decode in windowed mode)
+    assert win.seek_pcm(100) == ref.seek_pcm(100)
+    assert win.raw_tell() == ref.raw_tell()
+    assert win.read_loop(8192) == ref.read_loop(8192)
+    assert win.raw_tell() == ref.raw_tell()
+    assert _drain(win, 4096) == _drain(ref, 4096)
+
+
+def test_windowed_seek_requires_seekable():
+    rng = np.random.default_rng(17)
+    data = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=8)
+    s = AcmStream(PipeSource(data), window_blocks=2)
+    s.read_loop(s._header.block_len * 2)
+    s.read_loop(s._header.block_len * 2)
+    with pytest.raises(AcmException):
+        s.seek_pcm(0)
+
+
+def test_windowed_memory_bounded():
+    """A long stream decodes in O(window) residency, not O(file)."""
+    rng = np.random.default_rng(19)
+    data = testing.speech_acm_bytes(rng, level=7, rows=16, n_blocks=400)
+    assert len(data) > 100_000
+    s = AcmStream(PipeSource(data), window_blocks=4)
+    block_bytes = 2 * s._header.block_len
+    bound = 3 * _window_chunk() + 8 * block_bytes
+    peak = 0
+    out = bytearray()
+    while True:
+        got = s.read_loop(8192)
+        if not got:
+            break
+        out += got
+        peak = max(peak, s._win.resident_bytes())
+    assert len(out) == 2 * 400 * s._header.block_len
+    assert peak < bound, (peak, bound)
+    # cross-check content against the slurped path
+    assert bytes(out) == _drain(acm_open_decoder(data), 65536)
+
+
+def _window_chunk() -> int:
+    from libacm_tpu.stream import _Window
+
+    return _Window.CHUNK
+
+
+def test_windowed_telemetry_and_state():
+    rng = np.random.default_rng(23)
+    data = testing.speech_acm_bytes(rng, level=5, rows=10, n_blocks=10,
+                                    rate=22050)
+    ref = acm_open_decoder(data)
+    win = AcmStream(io.BytesIO(data), window_blocks=2)
+    assert (win.pcm_total(), win.time_total()) == (ref.pcm_total(),
+                                                   ref.time_total())
+    ref.read_loop(5000)
+    win.read_loop(5000)
+    assert win.pcm_tell() == ref.pcm_tell()
+    assert win.time_tell() == ref.time_tell()

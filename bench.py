@@ -106,29 +106,33 @@ def time_reference(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
     return best
 
 
-def time_framework(files: list[pathlib.Path], total_samples: int) -> tuple[float, float]:
-    """(device-resident seconds, host-fetch seconds).
+def time_framework(
+    files: list[pathlib.Path], total_samples: int
+) -> tuple[float, float, dict]:
+    """(device-resident seconds, host-fetch seconds, backend shootout).
 
     Device-resident is the headline: the corpus-decode use case is dataset
     ingest for TPU jobs, where PCM is consumed on device (and the
     reference's own benchmark mode, `acmtool -n`, likewise discards its
     output). The checksum is a device reduction that forces every PCM
-    sample to materialize; only scalars cross the wire.
+    sample to materialize; only scalars cross the wire. The shootout times
+    the XLA pass chain vs the fused Pallas kernel on the same corpus so
+    the `auto` backend selection is grounded in a hardware measurement.
     """
     from libacm_tpu.parallel import decode_corpus, decode_corpus_device
 
     paths = [str(f) for f in files]
     want_sum = None
 
-    def run_device() -> float:
+    def run_device(backend: str = "auto") -> float:
         nonlocal want_sum
         t0 = time.perf_counter()
-        corpus = decode_corpus_device(paths)
+        corpus = decode_corpus_device(paths, backend=backend)
         cs = corpus.checksum()
         dt = time.perf_counter() - t0
         if want_sum is None:
             want_sum = cs
-        assert cs == want_sum
+        assert cs == want_sum, f"checksum mismatch (backend={backend})"
         return dt
 
     def run_host() -> float:
@@ -153,7 +157,18 @@ def time_framework(files: list[pathlib.Path], total_samples: int) -> tuple[float
         time.sleep(1.0)
     dev = min(times)
     host = min(run_host() for _ in range(3))
-    return dev, host
+
+    shoot = {}
+    for backend in ("jax", "pallas"):
+        try:
+            run_device(backend)  # warmup/compile
+            bt = min(run_device(backend) for _ in range(3))
+            shoot[backend] = round(total_samples / bt / 1e6, 1)
+            log(f"  backend {backend}: {bt:.3f} s = {shoot[backend]} Msamples/s")
+        except Exception as e:  # pallas may be unsupported on this backend
+            log(f"  backend {backend}: failed ({type(e).__name__}: {e})")
+            shoot[backend] = None
+    return dev, host, shoot
 
 
 def main() -> int:
@@ -174,7 +189,7 @@ def main() -> int:
         ref_msps = None
         log("reference binary unavailable; vs_baseline=null")
 
-    fw_s, host_s = time_framework(files, total_samples)
+    fw_s, host_s, shoot = time_framework(files, total_samples)
     fw_msps = total_samples / fw_s / 1e6
     host_msps = total_samples / host_s / 1e6
     realtime = fw_msps * 1e6 / RATE
@@ -188,6 +203,11 @@ def main() -> int:
         "value": round(fw_msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(fw_msps / ref_msps, 3) if ref_msps else None,
+        "host_path_Msamples_per_s": round(host_msps, 2),
+        "host_vs_baseline": (round(host_msps / ref_msps, 3)
+                             if ref_msps else None),
+        "backend_jax_Msamples_per_s": shoot.get("jax"),
+        "backend_pallas_Msamples_per_s": shoot.get("pallas"),
     }))
     return 0
 

@@ -193,7 +193,7 @@ def synth_pcm_packed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("level", "rows", "batch", "nb")
+    jax.jit, static_argnames=("level", "rows", "batch", "nb", "backend")
 )
 def synth_pcm_cols(
     cls: jax.Array,  # uint8 [batch, nb, ceil(cols/4)] 2-bit-packed classes
@@ -205,13 +205,15 @@ def synth_pcm_cols(
     rows: int,
     batch: int,
     nb: int,
+    backend: str = "jax",
 ) -> tuple[jax.Array, jax.Array]:
     """Batched synth from the per-column wire format (scanner packed mode).
 
     The C++ scanner emits column payloads classified {zero,4,8,16}-bit by
     observed range; only those payloads plus a 2-bit/column class map
     cross the host↔device link. Unpack (cumsum + gather) and synthesis fuse
-    into one device program.
+    into one device program. backend="pallas" runs the filterbank through
+    the fused VMEM kernel (ops.synth_pallas) instead of the XLA pass chain.
     """
     from .packing import unpack_columns
 
@@ -223,6 +225,10 @@ def synth_pcm_cols(
         codes.reshape(batch * nb * cols), pay4, pay8, pay16, rows=rows
     )  # [batch*nb*cols, rows]
     k = k_cols.reshape(batch, nb, cols, rows).transpose(0, 1, 3, 2)
+    if backend == "pallas":
+        from .synth_pallas import synth_pcm_pallas
+
+        return synth_pcm_pallas(k, vals, wrap0, level=level, rows=rows)
     fn = functools.partial(synth_pcm, level=level, rows=rows)
     return jax.vmap(fn)(k, vals, wrap0)
 

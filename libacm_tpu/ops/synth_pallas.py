@@ -14,21 +14,26 @@ Key layout trick: pass p's FIR on the (sub_count, sub_len) view is, on the
     y[f] = sign(f//s) * (x[f] + x[f-2s]) + 2*x[f-s]
 
 so instead of reshaping the tile per pass (Mosaic cannot shape-cast
-arbitrarily), the block stays a [rows, cols] tile and each pass is two
-flat shifts — a lane roll plus a row roll with a lane-index select —
-pure VPU work with no relayouts. The halo (x[-2s..-1], the reference's
-wrapbuf segment) occupies the tail of one extra row prepended per pass.
+arbitrarily), the block stays one [R, C] register tile over the flat index
+(R·C = rows·cols) and each pass is two flat shifts. A flat shift by
+s = q·C + r is a lane roll by r plus a row roll by q or q+1 selected by
+lane index — pure VPU work with no relayouts. For cols <= 128 the natural
+C = cols (R = rows); for larger cols the flat block is viewed as
+C = 128 lanes x R = rows·cols/128 rows, which makes every level work with
+the same kernel: the per-pass halo (x[-2s..-1], the reference's wrapbuf
+segment) occupies the tail of H = cols/C extra rows prepended per pass
+(2s <= cols = H·C always).
 
 Grid = (files, blocks). TPU grids execute sequentially (last axis fastest),
-so the inter-block carry lives in VMEM scratch [level, 1, cols] persisting
-across the block axis: scratch[p] holds the last flat row of pass p's
+so the inter-block carry lives in VMEM scratch [level, H, C] persisting
+across the block axis: scratch[p] holds the last H flat rows of pass p's
 input from the previous block (its tail 2·sub_len elements are the live
 halo; the rest is never read). Host-side helpers convert to/from the
 reference's packed wrapbuf layout ([2*cols-2], decode.c:803).
 
-Constraints: 1 <= level <= 7 (cols <= 128 so a flat row is one register
-row). Larger cols fall back to the XLA path. All arithmetic is int32
-two's-complement (wrapping) as the format requires.
+Constraints: level >= 1 and rows*cols*4 within a VMEM budget (huge
+geometries — high level x high rows — fall back to the XLA path). All
+arithmetic is int32 two's-complement (wrapping) as the format requires.
 """
 
 from __future__ import annotations
@@ -42,21 +47,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .synth_jax import _wrap_layout, synth_pcm_batch
 
+_LANES = 128
+#: int32 elements per block tile above which we fall back to XLA (the
+#: kernel holds ~3 tile copies in VMEM; 256K elems = 3 MiB comfortably
+#: fits every production TPU's VMEM alongside double-buffered IO).
+_MAX_TILE_ELEMS = 256 * 1024
 
-def _flat_shift(x_ext: jax.Array, s: int, lane: jax.Array) -> jax.Array:
-    """y[f] = x_ext[f - s] over the flat row-major index of [R, C].
 
-    Valid for 0 < s < C. Positions f < s read wrapped garbage from the last
-    row — callers prepend a halo row so those positions are never used.
+def _flat_shift(x_ext: jax.Array, s: int, lane: jax.Array, C: int) -> jax.Array:
+    """y[f] = x_ext[f - s] over the flat row-major index of [Rt, C].
+
+    Positions f < s (within the halo region) read wrapped garbage from the
+    bottom rows — callers prepend halo rows so real outputs never use them.
     """
-    a = pltpu.roll(x_ext, s, 1)  # a[r, c] = x[r, (c - s) mod C]
-    b = pltpu.roll(a, 1, 0)  # previous-row version for lanes that wrapped
-    return jnp.where(lane >= s, a, b)
+    q, r = divmod(s, C)
+    if r == 0:
+        return pltpu.roll(x_ext, q, 0)
+    a = pltpu.roll(x_ext, r, 1)  # a[row, c] = x[row, (c - r) mod C]
+    lo = a if q == 0 else pltpu.roll(a, q, 0)
+    hi = pltpu.roll(a, q + 1, 0)  # previous-row source for wrapped lanes
+    return jnp.where(lane >= r, lo, hi)
 
 
 def _kernel(val_sref, k_ref, wrap0_ref, pcm_ref, wrapf_ref, wrap_sc,
-            *, level: int, rows: int):
+            *, level: int, rows: int, H: int, C: int):
     cols = 1 << level
+    R = rows * cols // C
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -65,25 +81,24 @@ def _kernel(val_sref, k_ref, wrap0_ref, pcm_ref, wrapf_ref, wrap_sc,
     def _():
         wrap_sc[:] = wrap0_ref[0]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows + 1, cols), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows + 1, cols), 0)
-    flat = (row - 1) * cols + lane  # flat index of the non-halo region
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R + H, C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R + H, C), 0)
+    flat = (row - H) * C + lane  # flat index of the non-halo region
 
     x = k_ref[0, 0].astype(jnp.int32) * val_sref[b, i]
     for p in range(level):
         s = cols >> (p + 1)
-        halo = wrap_sc[p]  # [1, cols]; tail 2s elements are live
-        new_halo = x[rows - 1 :, :]
-        xe = jnp.concatenate([halo, x], axis=0)  # [rows+1, cols]
-        x1 = _flat_shift(xe, s, lane)
-        # 2s == cols only at pass 0: a full-row shift
-        x2 = _flat_shift(xe, 2 * s, lane) if 2 * s < cols else pltpu.roll(xe, 1, 0)
+        halo = wrap_sc[p]  # [H, C]; tail 2s elements are live
+        new_halo = x[R - H :, :]
+        xe = jnp.concatenate([halo, x], axis=0)  # [R+H, C]
+        x1 = _flat_shift(xe, s, lane, C)
+        x2 = _flat_shift(xe, 2 * s, lane, C)  # 2s == cols at p=0: H-row roll
         sign = 1 - 2 * ((flat >> (level - 1 - p)) & 1)
         y = sign * (xe + x2) + 2 * x1
         if p == 0:
             y = y + ((flat & (s - 1)) == 0).astype(jnp.int32)
         wrap_sc[p] = new_halo
-        x = y[1:, :]
+        x = y[H:, :]
 
     pcm_ref[0, 0] = (x >> level).astype(jnp.int16)
 
@@ -92,28 +107,46 @@ def _kernel(val_sref, k_ref, wrap0_ref, pcm_ref, wrapf_ref, wrap_sc,
         wrapf_ref[0] = wrap_sc[:]
 
 
-def wrapbuf_to_rowbuf(wrap: jax.Array, level: int) -> jax.Array:
-    """Reference wrapbuf [..., 2*cols-2] → kernel row buffer [..., level, 1, cols].
+def _geometry(level: int, rows: int) -> tuple[int, int]:
+    """(H, C): lane width C and halo rows H = cols/C for the flat tile."""
+    cols = 1 << level
+    if cols <= _LANES:
+        return 1, cols
+    return cols // _LANES, _LANES
 
-    Pass p's segment (length 2*sub_len) lands in the tail of its row; the
-    head is scratch the kernel never reads (zero-filled).
+
+def wrapbuf_to_rowbuf(wrap: jax.Array, level: int, rows: int) -> jax.Array:
+    """Reference wrapbuf [..., 2*cols-2] → kernel halo buffer
+    [..., level, H, C].
+
+    Pass p's segment (length 2*sub_len) lands in the tail of its
+    flattened H·C(= cols)-element halo; the head is scratch the kernel
+    never reads (zero-filled).
     """
     cols = 1 << level
+    H, C = _geometry(level, rows)
     lead = wrap.shape[:-1]
-    out = jnp.zeros(lead + (level, 1, cols), wrap.dtype)
+    out = jnp.zeros(lead + (level, cols), wrap.dtype)
     for p, (off, sub_len, _) in enumerate(_wrap_layout(level, cols)):
         seg = wrap[..., off : off + 2 * sub_len]
-        out = out.at[..., p, 0, cols - 2 * sub_len :].set(seg)
-    return out
+        out = out.at[..., p, cols - 2 * sub_len :].set(seg)
+    return out.reshape(lead + (level, H, C))
 
 
 def rowbuf_to_wrapbuf(buf: jax.Array, level: int) -> jax.Array:
-    """Inverse of wrapbuf_to_rowbuf (drops the dead head of each row)."""
+    """Inverse of wrapbuf_to_rowbuf (drops the dead head of each halo)."""
     cols = 1 << level
+    lead = buf.shape[:-3]
+    flat = buf.reshape(lead + (level, cols))
     segs = []
     for p, (off, sub_len, _) in enumerate(_wrap_layout(level, cols)):
-        segs.append(buf[..., p, 0, cols - 2 * sub_len :])
+        segs.append(flat[..., p, cols - 2 * sub_len :])
     return jnp.concatenate(segs, axis=-1)
+
+
+def pallas_supported(level: int, rows: int) -> bool:
+    """Geometries the fused kernel covers (others use the XLA path)."""
+    return 1 <= level <= 15 and 0 < rows * (1 << level) <= _MAX_TILE_ELEMS
 
 
 @functools.partial(jax.jit, static_argnames=("level", "rows"))
@@ -133,35 +166,37 @@ def synth_pcm_pallas(
     cols = 1 << level
     n = rows * cols
 
-    if level == 0 or cols > 128 or nb == 0:
-        # level 0: dequant+shift only; cols>128: per-row layout trick needs
-        # a flat row per register row — use the XLA path
+    if nb == 0 or not pallas_supported(level, rows):
+        # level 0: dequant+shift only; oversized tiles: XLA path
         return synth_pcm_batch(k, vals, wrap0, level=level, rows=rows)
 
+    H, C = _geometry(level, rows)
+    R = n // C
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, rows, cols), lambda b, i, *_: (b, i, 0, 0),
+            pl.BlockSpec((1, 1, R, C), lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, level, 1, cols), lambda b, i, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, level, H, C), lambda b, i, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, rows, cols), lambda b, i, *_: (b, i, 0, 0),
+            pl.BlockSpec((1, 1, R, C), lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, level, 1, cols), lambda b, i, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, level, H, C), lambda b, i, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((level, 1, cols), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((level, H, C), jnp.int32)],
     )
-    kernel = functools.partial(_kernel, level=level, rows=rows)
+    kernel = functools.partial(_kernel, level=level, rows=rows, H=H, C=C)
     pcm, rowf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, nb, rows, cols), jnp.int16),
-            jax.ShapeDtypeStruct((B, level, 1, cols), jnp.int32),
+            jax.ShapeDtypeStruct((B, nb, R, C), jnp.int16),
+            jax.ShapeDtypeStruct((B, level, H, C), jnp.int32),
         ),
-    )(vals.astype(jnp.int32), k, wrapbuf_to_rowbuf(wrap0, level))
+    )(vals.astype(jnp.int32), k.reshape(B, nb, R, C),
+      wrapbuf_to_rowbuf(wrap0, level, rows))
     return pcm.reshape(B, nb, n), rowbuf_to_wrapbuf(rowf, level)

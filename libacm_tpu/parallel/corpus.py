@@ -38,6 +38,7 @@ the declared length.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
 import threading
@@ -57,6 +58,7 @@ from ..format import (
     ACM_ID,
     ACMInfo,
     AcmError,
+    AcmException,
     AcmHeader,
     cli_total_bytes as _cli_total_bytes,
     resolve_channels,
@@ -215,6 +217,9 @@ class _BucketOut:
     rows: int
     entries: list[_FileEntry]
     pcm: jax.Array  # int16 [B, nb, rows*cols] (padded files/blocks included)
+    #: row of `pcm` for each entry (None: identity). The sharded packed
+    #: path pads each shard group, so entry j may live at a later row.
+    slots: list[int] | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -307,7 +312,9 @@ class DeviceCorpus:
             block_len = b.rows << b.level
             host = np.asarray(jax.device_get(b.pcm))
             for j, e in enumerate(b.entries):
-                results[e.index] = _finalize(e, host[j].reshape(-1), block_len)
+                row = b.slots[j] if b.slots is not None else j
+                results[e.index] = _finalize(e, host[row].reshape(-1),
+                                             block_len)
         return results  # type: ignore[return-value]
 
 
@@ -401,6 +408,9 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
     pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
 
+    if not chunk:  # empty shard group (chunk smaller than the mesh)
+        return (cls, pay4[:0], pay8[:0], pay16[:0], vals,
+                np.zeros((0, 2 * cols - 2), dtype=np.int32))
     max_bytes = max(len(e.data) for e in chunk)
     bufs = getattr(_SCAN_TLS, "bufs", None)
     if bufs is None or not bufs.fits(max_bytes):
@@ -424,7 +434,8 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
             pay16[: _round_up(o16, 4096)], vals, wrap0)
 
 
-def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int) -> _BucketOut:
+def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
+                        backend: str = "jax") -> _BucketOut:
     """Device half: transfer wire arrays and dispatch fused unpack+synth."""
     from ..ops.synth_jax import synth_pcm_cols
 
@@ -432,9 +443,28 @@ def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int) -> _Bucke
     pcm, _ = synth_pcm_cols(
         jnp.asarray(cls), jnp.asarray(pay4), jnp.asarray(pay8),
         jnp.asarray(pay16), jnp.asarray(vals), jnp.asarray(wrap0),
-        level=level, rows=rows, batch=len(chunk), nb=nb,
+        level=level, rows=rows, batch=len(chunk), nb=nb, backend=backend,
     )
     return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
+
+
+def resolve_device_backend(backend: str, level: int, rows: int) -> str:
+    """Map backend="auto" to the synthesis kernel for one bucket geometry.
+
+    On TPU the fused Pallas kernel (ops.synth_pallas) is preferred where
+    it applies — it reads k and writes PCM exactly once vs the XLA pass
+    chain's ~level round-trips of HBM traffic (bench.py measures both on
+    hardware; see BENCH notes in BASELINE.md). CPU (tests, fallbacks) and
+    oversized geometries use the XLA path.
+    """
+    if backend != "auto":
+        return backend
+    from ..ops.synth_pallas import pallas_supported
+
+    if pallas_supported(level, rows) and jax.default_backend() not in (
+            "cpu", "gpu"):
+        return "pallas"
+    return "jax"
 
 
 def decode_corpus_device(
@@ -442,7 +472,7 @@ def decode_corpus_device(
     *,
     force_chans: int = 0,
     mesh: Mesh | None = None,
-    backend: str = "jax",
+    backend: str = "auto",
     chunk_files: int | None = None,
     pack: bool = True,
     config: CorpusConfig | None = None,
@@ -458,8 +488,9 @@ def decode_corpus_device(
         chunk_files = config.chunk_files
         pack = config.pack
         backend = config.backend
-    if backend in ("auto", "host"):
+    if backend == "host":
         backend = "jax"  # device decode: host backends don't apply here
+    # "auto" resolves per bucket geometry (resolve_device_backend)
     t_start = time.perf_counter()
     out = DeviceCorpus(len(sources))
 
@@ -481,14 +512,9 @@ def decode_corpus_device(
                _pad_blocks(header.max_blocks_in(len(data))))
         buckets.setdefault(key, []).append(e)
 
-    if backend == "pallas":
-        from ..ops.synth_pallas import synth_pcm_pallas as synth_fn
-    else:
-        from ..ops.synth_jax import synth_pcm_batch as synth_fn
-
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
 
-    use_cols_wire = mesh is None and backend == "jax" and pack
+    use_cols_wire = pack
     if use_cols_wire:
         from ..scan import native as _native
 
@@ -504,28 +530,53 @@ def decode_corpus_device(
         for (level, rows, nb), entries in buckets.items():
             cols = 1 << level
             wlen = 2 * cols - 2
-            if mesh is not None:
+            eff = resolve_device_backend(backend, level, rows)
+            if eff == "pallas":
+                from ..ops.synth_pallas import synth_pcm_pallas as synth_fn
+            else:
+                from ..ops.synth_jax import synth_pcm_batch as synth_fn
+            if mesh is not None and not use_cols_wire:
                 step = len(entries)
             elif chunk_files is not None:
-                step = max(1, chunk_files)
+                step = max(1, chunk_files) * n_shards
             else:
-                # auto: ~8M samples per dispatch, 8..256 files
+                # auto: ~8M samples per dispatch (per shard), 8..256 files
                 per_file = max(1, nb * rows * cols)
-                step = min(256, max(8, -(-8_000_000 // per_file)))
+                step = min(256, max(8, -(-8_000_000 // per_file))) * n_shards
             for lo in range(0, len(entries), step):
                 chunk = entries[lo : lo + step]
+                if use_cols_wire and mesh is not None:
+                    # packed + sharded: scan per shard group (payload
+                    # offsets restart per group so gathers stay local),
+                    # stack, shard_map — the mesh path now pipelines and
+                    # packs exactly like the single-chip fast path
+                    t0 = time.perf_counter()
+                    per = -(-len(chunk) // n_shards)
+                    groups = []
+                    for s in range(n_shards):
+                        g = chunk[s * per : (s + 1) * per]
+                        groups.append((g, _scan_cols_wire(g, level, rows, nb)
+                                       if g else
+                                       _scan_cols_wire([], level, rows, nb)))
+                    out.summary.scan_s += time.perf_counter() - t0
+                    pending.append(submitter.submit(
+                        _dispatch_cols_wire_sharded, mesh, groups, chunk,
+                        level, rows, nb, eff,
+                    ))
+                    continue
                 if use_cols_wire:
                     t0 = time.perf_counter()
                     arrays = _scan_cols_wire(chunk, level, rows, nb)
                     out.summary.scan_s += time.perf_counter() - t0
                     pending.append(submitter.submit(
-                        _dispatch_cols_wire, arrays, chunk, level, rows, nb
+                        _dispatch_cols_wire, arrays, chunk, level, rows, nb,
+                        eff,
                     ))
                     continue
                 out._add_bucket(
                     _dispatch_dense(chunk, level, rows, nb, wlen, mesh,
                                     n_shards, synth_fn,
-                                    pack=pack and backend == "jax")
+                                    pack=pack and eff == "jax")
                 )
         for fut in pending:
             out._add_bucket(fut.result())
@@ -594,6 +645,141 @@ def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
             args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
         pcm, _ = synth_fn(*args, level=level, rows=rows)
     return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
+                     backend: str):
+    """shard_map'd per-device unpack+synth over per-shard wire arrays.
+
+    cls/vals/wrap shard contiguously along the file axis; the payload
+    streams are scanned per shard group (offsets restart at zero per
+    group) so the cumsum gather inside synth_pcm_cols stays shard-local —
+    zero collectives, embarrassingly parallel (SURVEY §2.3.1).
+    """
+    from jax import shard_map
+
+    from ..ops.synth_jax import synth_pcm_cols
+
+    n_shards = int(np.prod(mesh.devices.shape))
+
+    def per_shard(cls, pay4, pay8, pay16, vals, wrap0):
+        pcm, wrapf = synth_pcm_cols(
+            cls, pay4[0], pay8[0], pay16[0], vals, wrap0,
+            level=level, rows=rows, batch=batch // n_shards, nb=nb,
+            backend=backend,
+        )
+        return pcm, wrapf
+
+    spec_b = P("files")
+    return jax.jit(shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
+        out_specs=(spec_b, spec_b),
+    ))
+
+
+def _dispatch_cols_wire_sharded(mesh, groups, chunk, level: int, rows: int,
+                                nb: int, backend: str) -> _BucketOut:
+    """Mesh half of the packed path: stack per-shard wire arrays (payloads
+    padded to a common shape), place them sharded, dispatch shard_map."""
+    n_shards = len(groups)
+    cols = 1 << level
+    b_shard = max(len(g) for g, _ in groups)
+
+    def _pad_rows(a, n0, b):
+        out = np.zeros((n0,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    # pad payload pools to stable 4096 multiples (compile-shape hygiene)
+    p4n = _round_up(max(g[1][1].shape[0] for g in groups), 4096)
+    p8n = _round_up(max(g[1][2].shape[0] for g in groups), 4096)
+    p16n = _round_up(max(g[1][3].shape[0] for g in groups), 4096)
+    cls = np.zeros((n_shards * b_shard, nb, (cols + 3) // 4), dtype=np.uint8)
+    vals = np.zeros((n_shards * b_shard, nb), dtype=np.uint16)
+    wrap0 = np.zeros((n_shards * b_shard, 2 * cols - 2), dtype=np.int32)
+    pay4 = np.zeros((n_shards, p4n) + groups[0][1][1].shape[1:], np.int8)
+    pay8 = np.zeros((n_shards, p8n) + groups[0][1][2].shape[1:], np.int8)
+    pay16 = np.zeros((n_shards, p16n) + groups[0][1][3].shape[1:], np.int16)
+    for s, (g, arrays) in enumerate(groups):
+        gc, g4, g8, g16, gv, _ = arrays
+        cls[s * b_shard : s * b_shard + len(g)] = gc
+        vals[s * b_shard : s * b_shard + len(g)] = gv
+        pay4[s, : g4.shape[0]] = g4
+        pay8[s, : g8.shape[0]] = g8
+        pay16[s, : g16.shape[0]] = g16
+
+    sh_b = NamedSharding(mesh, P("files"))
+    fn = _sharded_cols_fn(mesh, level, rows, n_shards * b_shard, nb, backend)
+    pcm, _ = fn(
+        jax.device_put(cls, sh_b), jax.device_put(pay4, sh_b),
+        jax.device_put(pay8, sh_b), jax.device_put(pay16, sh_b),
+        jax.device_put(vals, sh_b), jax.device_put(wrap0, sh_b),
+    )
+    # entries live group-major with per-group padding; record each entry's
+    # row so to_results() indexes the padded sharded batch correctly
+    # (no gather — pcm stays sharded/device-resident)
+    entries: list[_FileEntry] = []
+    slots: list[int] = []
+    for s, (g, _) in enumerate(groups):
+        for j, e in enumerate(g):
+            slots.append(s * b_shard + j)
+            entries.append(e)
+    return _BucketOut(level=level, rows=rows, entries=entries, pcm=pcm,
+                      slots=slots)
+
+
+def decode_stream_device(
+    source: Source,
+    *,
+    mesh: Mesh | None = None,
+    axis: str = "blocks",
+    force_chans: int = 0,
+) -> tuple[jax.Array, FileResult]:
+    """Decode ONE stream with its block axis sharded across a mesh.
+
+    The sequence-parallel analog (SURVEY §5 long-context): the carry-free
+    synthesis formulation (ops.synth_jax — block i's pass-p carry is block
+    i-1's pass-p input tail) makes the block axis pure data parallelism;
+    sharding `k` along it lets XLA insert the 2-row halo exchanges as
+    collective-permutes over ICI automatically. Returns (pcm int16
+    device array [nb, block_len] sharded along `axis`, FileResult with
+    pcm=None carrying status/filler metadata). A huge file therefore
+    spans chips — the capability the reference approximates by streaming
+    (decode.c:29) and decode_corpus covers only per-file.
+    """
+    from ..ops.synth_jax import synth_pcm
+
+    data = _read_source(source)
+    header = parse_header(BitReader(data))
+    if header is None:
+        raise AcmException(AcmError.ERR_NOT_ACM)
+    scan = scan_bytes(data)
+    e = _FileEntry(
+        index=0, data=data, header=header,
+        channels=resolve_channels(header.channels, header.wavc_file,
+                                  force_chans),
+    )
+    e.n_good = scan.n_blocks
+    _, e.first_err = _n_good(scan.events)
+    e.events = scan.events
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    nbp = max(_round_up(max(scan.n_blocks, 1), n_shards), n_shards)
+    k = np.zeros((nbp,) + scan.k.shape[1:], dtype=np.int16)
+    vals = np.zeros(nbp, dtype=np.int32)
+    k[: scan.n_blocks] = scan.k
+    vals[: scan.n_blocks] = scan.val.astype(np.int32)
+    wrap0 = jnp.zeros(max(header.wrapbuf_len, 1), dtype=jnp.int32)
+    if mesh is not None:
+        k = jax.device_put(k, NamedSharding(mesh, P(axis, None, None)))
+        vals = jax.device_put(vals, NamedSharding(mesh, P(axis)))
+        wrap0 = jax.device_put(wrap0, NamedSharding(mesh, P()))
+    pcm, _ = synth_pcm(jnp.asarray(k), jnp.asarray(vals), wrap0,
+                       level=header.level, rows=header.rows)
+    meta = _finalize(e, np.zeros(0, np.int16), header.block_len)
+    meta.pcm = None
+    return pcm, meta
 
 
 def decode_corpus_host(

@@ -55,6 +55,46 @@ def test_corpus_sharded_matches_unsharded():
         np.testing.assert_array_equal(a.pcm, b.pcm)
 
 
+def test_corpus_sharded_packed_hostile_and_uneven():
+    """The sharded packed path (per-shard wire arrays + shard_map) on a
+    chunk that doesn't divide the mesh, with corrupt/truncated members."""
+    rng = np.random.default_rng(21)
+    files = []
+    for i in range(11):  # 11 files on 8 devices: uneven groups + padding
+        data = testing.speech_acm_bytes(
+            rng, level=int(rng.choice([3, 6])), rows=16, n_blocks=4,
+            channels=int(rng.integers(1, 3)))
+        if i % 4 == 1:
+            data = data[: len(data) - 10]  # truncated
+        elif i % 4 == 2:
+            b = bytearray(data)
+            b[40] ^= 0xFF  # corrupt
+            data = bytes(b)
+        files.append(data)
+    res_m = decode_corpus(files, mesh=make_mesh())
+    res_1 = decode_corpus(files)
+    for a, b in zip(res_m, res_1):
+        assert a.status == b.status
+        assert a.filler_words == b.filler_words
+        np.testing.assert_array_equal(a.pcm, b.pcm)
+
+
+def test_decode_stream_device_blocks_sharded():
+    """One big file sharded along its BLOCK axis across the mesh — the
+    sequence-parallel analog (SURVEY §5 long-context): the carry-free
+    formulation makes the halo a ppermute XLA inserts on its own."""
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    rng = np.random.default_rng(33)
+    data = testing.speech_acm_bytes(rng, level=6, rows=16, n_blocks=40)
+    mesh = make_mesh(axis="blocks")
+    pcm, meta = decode_stream_device(data, mesh=mesh, axis="blocks")
+    assert meta.status == 0
+    host = np.asarray(jax.device_get(pcm)).reshape(-1)
+    want = _oracle_decode(data)
+    np.testing.assert_array_equal(host[: len(want)], want)
+
+
 def test_corpus_error_isolation():
     rng = np.random.default_rng(3)
     good = testing.random_acm_bytes(rng, level=3, rows=8, n_blocks=2)

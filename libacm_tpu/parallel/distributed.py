@@ -24,19 +24,27 @@ logger = logging.getLogger("libacm_tpu.distributed")
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """jax.distributed bootstrap (no-op if already initialized or solo).
+    """jax.distributed bootstrap (no-op if already initialized).
 
     With no arguments, relies on the environment/cluster autodetection
-    exactly like jax.distributed.initialize does.
+    exactly like jax.distributed.initialize does, and a failure is
+    treated as a solo run. With explicit arguments the caller wants
+    multi-process — failures then PROPAGATE (a silently-degraded
+    "distributed" job that decodes only its own shard is worse than a
+    crash). Must run before any JAX computation touches the backend
+    (do not call jax.process_count()/jax.devices() first).
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized
-    try:
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    try:
+        jax.distributed.initialize()
     except (RuntimeError, ValueError) as e:
         # single-process run (tests, one host): fine
         logger.debug("jax.distributed.initialize skipped: %s", e)

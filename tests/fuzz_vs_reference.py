@@ -4,13 +4,18 @@ Not a pytest (runtime-unbounded); run manually:
     python tests/fuzz_vs_reference.py [seconds] [seed]
 
 Each round synthesizes a random stream (random geometry, content style,
-optional WAVC wrap, optional truncation/bit flips), decodes it with the C
-binary (`acmtool -d -r`) and with this framework through BOTH public paths
-(AcmStream read_loop and decode_corpus), and requires byte equality of the
-decoded prefix plus agreement on the zero-padded tail. Any divergence
-saves the offending stream next to this script and exits non-zero.
+optional WAVC wrap, optional truncation/bit flips — header bytes
+included), decodes it with the C binary (`acmtool -d -r`) and with this
+framework through the public paths (AcmStream read_loop — full-file or
+windowed — and decode_corpus), and requires byte equality of the decoded
+prefix plus agreement on the zero-padded tail. Some rounds additionally
+diff: the repo's own acmtool CLI output against the reference binary's
+bytes, DecodeState save/resume at a random cut, and read_segment random
+windows. Any divergence saves the offending stream next to this script
+and exits non-zero.
 """
 
+import io
 import pathlib
 import subprocess
 import sys
@@ -21,12 +26,17 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from libacm_tpu import cli as acmcli  # noqa: E402
 from libacm_tpu import testing  # noqa: E402
+from libacm_tpu.format import AcmException, cli_total_bytes  # noqa: E402
 from libacm_tpu.parallel import decode_corpus  # noqa: E402
-from libacm_tpu.stream import acm_open_decoder  # noqa: E402
-from libacm_tpu.format import AcmException  # noqa: E402
+from libacm_tpu.scan.oracle import BitReader, parse_header  # noqa: E402
+from libacm_tpu.stream import AcmStream, acm_open_decoder  # noqa: E402
 
 REF = "/tmp/refbuild/src/acmtool"
+#: skip the want-file comparison when a (hostile) header legitimately
+#: makes the reference emit this much — disk/time guard, not a semantic one
+MAX_REF_BYTES = 64 << 20
 
 
 def ref_decode(data: bytes):
@@ -43,7 +53,9 @@ def ref_decode(data: bytes):
     return pcm, r.stderr
 
 
-def one_round(rng: np.random.Generator) -> str:
+def gen_stream(rng: np.random.Generator) -> tuple[bytes, str]:
+    """The round's stream synthesis + mutation (deterministic given the
+    RNG state — re-run with a captured state to regenerate a repro)."""
     level = int(rng.integers(0, 9))
     rows = int(rng.integers(1, 80))
     nb = int(rng.integers(1, 7))
@@ -63,14 +75,40 @@ def one_round(rng: np.random.Generator) -> str:
     if mut < 0.25 and len(data) > 20:
         data = data[: int(rng.integers(14, len(data)))]
         kind = "trunc"
-    elif mut < 0.5:
+    elif mut < 0.45:
         b = bytearray(data)
         for _ in range(int(rng.integers(1, 5))):
             b[int(rng.integers(14, len(b)))] ^= 1 << int(rng.integers(0, 8))
         data = bytes(b)
         kind = "flip"
+    elif mut < 0.55:
+        # header-region flips: hostile total_values/channels/rate/level/rows
+        b = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, min(42, len(b))))] ^= \
+                1 << int(rng.integers(0, 8))
+        data = bytes(b)
+        kind = "hdrflip"
     else:
         kind = "clean"
+    return data, kind
+
+
+def _regen_stream(rng: np.random.Generator) -> bytes:
+    return gen_stream(rng)[0]
+
+
+def one_round(rng: np.random.Generator) -> str:
+    data, kind = gen_stream(rng)
+
+    # output-size guard: a hostile header the reference accepts can demand
+    # gigabytes of zero filler from BOTH tools; don't fuzz the disk
+    hdr = parse_header(BitReader(data))
+    if hdr is not None:
+        tb = cli_total_bytes(hdr.total_values,
+                             2 if hdr.channels == 2 else 1)
+        if tb > MAX_REF_BYTES:
+            return "huge"
 
     want, _ = ref_decode(data)
     if want is None:
@@ -82,16 +120,28 @@ def one_round(rng: np.random.Generator) -> str:
     assert np.array_equal(got, want[: len(got)]), "corpus prefix mismatch"
     assert not want[len(got):].any(), "reference tail not zero-padding"
 
+    # occasionally: the repo's own CLI, byte-for-byte vs the reference CLI
+    if rng.random() < 0.04:
+        assert_cli_parity(data)
+
     # the CLI's int32 total_bytes overflows negative for absurd headers and
     # emits nothing; the library API still reads — skip the want-based
     # stream comparison there (the corpus check above covered CLI parity)
     if len(want) == 0 and len(got) == 0:
         return kind
 
-    # path 2: streaming API
+    # path 2: streaming API — full-file or bounded-memory windowed
+    windowed = rng.random() < 0.35
     try:
-        s = acm_open_decoder(data)
+        if windowed:
+            s = AcmStream(_NoLenSource(data),
+                          window_blocks=int(rng.integers(1, 5)))
+        else:
+            s = acm_open_decoder(data)
         buf = bytearray()
+        cut_state = None
+        cut_at = int(rng.integers(0, 4 * len(want) + 2)) \
+            if rng.random() < 0.3 and not windowed else None
         while True:
             try:
                 chunk = s.read_loop(8192)
@@ -100,12 +150,87 @@ def one_round(rng: np.random.Generator) -> str:
             if not chunk:
                 break
             buf += chunk
+            if cut_at is not None and len(buf) >= cut_at and cut_state is None:
+                cut_state = (len(buf), s.get_state().to_json())
         got2 = np.frombuffer(bytes(buf), dtype="<i2")
     except AcmException:
         got2 = np.zeros(0, np.int16)
+        cut_state = None
     assert np.array_equal(got2, want[: len(got2)]), "stream prefix mismatch"
     assert not want[len(got2):].any(), "stream tail mismatch"
+
+    # DecodeState save/resume at a random cut: the resumed stream must
+    # produce exactly the remaining bytes
+    if cut_state is not None:
+        from libacm_tpu.stream import DecodeState
+
+        done, st = cut_state
+        s2 = acm_open_decoder(data)
+        s2.set_state(DecodeState.from_json(st))
+        rest = bytearray()
+        while True:
+            try:
+                chunk = s2.read_loop(8192)
+            except AcmException:
+                break
+            if not chunk:
+                break
+            rest += chunk
+        assert bytes(rest) == bytes(got2.tobytes()[done:]), "resume mismatch"
+
+    # random-access window vs the full decode (clean streams only: the
+    # random-access contract covers clean prefixes)
+    if kind == "clean" and len(got2) and rng.random() < 0.25:
+        from libacm_tpu.parallel.random_access import (build_index,
+                                                       read_segment)
+
+        idx = build_index(data)
+        avail = min(len(got2), idx.words_avail)
+        if avail > 1:
+            a = int(rng.integers(0, avail - 1))
+            nw = int(rng.integers(1, avail - a))
+            seg = read_segment(data, idx, a, nw)
+            assert np.array_equal(seg, got2[a : a + nw]), "segment mismatch"
     return kind
+
+
+class _NoLenSource:
+    """read()-only AcmIO wrapper (exercises the windowed/pipe path)."""
+
+    def __init__(self, data: bytes):
+        self._b = io.BytesIO(data)
+
+    def read(self, size: int = -1) -> bytes:
+        return self._b.read(size)
+
+
+def assert_cli_parity(data: bytes) -> None:
+    """repo `acmtool -d -r` bytes + stderr notices vs the reference binary."""
+    with tempfile.TemporaryDirectory() as td:
+        src = pathlib.Path(td) / "in.acm"
+        src.write_bytes(data)
+        out_ref = pathlib.Path(td) / "ref.raw"
+        out_py = pathlib.Path(td) / "py.raw"
+        r = subprocess.run([REF, "-d", "-r", "-q", "-o", str(out_ref),
+                            str(src)], capture_output=True, text=True,
+                           timeout=60)
+        import contextlib
+
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            acmcli.main(["-d", "-r", "-q", "-o", str(out_py), str(src)])
+        ref_bytes = out_ref.read_bytes() if out_ref.exists() else None
+        py_bytes = out_py.read_bytes() if out_py.exists() else None
+        if ref_bytes is None:
+            # reference refused to open; ours must refuse too (no file or
+            # empty — we create the file before the open in decode_file)
+            assert not py_bytes, "repo CLI decoded a file the reference rejected"
+            return
+        assert py_bytes == ref_bytes, "CLI byte mismatch"
+        # the filler notice is part of the observable contract
+        ref_fill = "filler_samples" in r.stderr
+        py_fill = "filler_samples" in err.getvalue()
+        assert ref_fill == py_fill, "CLI filler notice mismatch"
 
 
 def main():
@@ -122,11 +247,18 @@ def main():
             kinds[kind] = kinds.get(kind, 0) + 1
             n += 1
         except AssertionError as e:
-            rng.bit_generator.state = state
             bad = pathlib.Path(__file__).parent / f"fuzz_fail_{seed}_{n}.acm"
-            # regenerate deterministically for the repro file
+            # regenerate the round's stream deterministically from the
+            # captured RNG state and save it as the repro artifact
+            rng.bit_generator.state = state
+            try:
+                bad.write_bytes(_regen_stream(rng))
+                where = str(bad)
+            except Exception as gen_err:  # still report the seed/round
+                where = f"<regeneration failed: {gen_err}>"
             print(f"FAIL after {n} rounds: {e}", file=sys.stderr)
-            print(f"reproduce with seed={seed}, round={n}", file=sys.stderr)
+            print(f"repro stream: {where} (seed={seed}, round={n})",
+                  file=sys.stderr)
             return 1
     print(f"OK: {n} rounds in {time.time()-t0:.0f}s {kinds}")
     return 0

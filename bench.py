@@ -32,14 +32,25 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 # Corpus: audio-realistic content mirroring BASELINE.json's configs —
 # mostly 22 kHz mono Fallout-style speech (sparse high bands, ~16 kbps:
 # the reference's own typical-file anchor is 13 kbps, util.c:161-162)
-# plus denser 44.1 kHz stereo Baldur's-Gate-style music. Level 7 /
-# rows 16 = the classic 2048-word block geometry. Encoded with the
-# cheapest covering filler per column, like real encoders.
-N_SPEECH, N_MUSIC = 160, 40
+# plus denser 44.1 kHz stereo Baldur's-Gate-style music — and, per the
+# round-1 review, NOT a single compiled geometry: minority shares at
+# levels 0/4/10 (distinct buckets → real bucketing/compile/scheduling
+# cost in the measured number), a WAVC-wrapped share, and a few
+# corrupt/truncated members (error-isolation cost included). Level 7 /
+# rows 16 remains the classic 2048-word majority geometry.
+N_SPEECH, N_MUSIC = 120, 30
 LEVEL, ROWS, NBLOCKS = 7, 16, 300
 RATE = 22050
+#: (tag, count, level, rows, n_blocks, channels, rate, wavc)
+MINORITY = [
+    ("lvl4", 15, 4, 40, 1200, 1, 22050, False),
+    ("lvl10", 10, 10, 4, 150, 2, 44100, False),
+    ("lvl0", 5, 0, 2048, 400, 1, 22050, False),
+    ("wavc", 5, 7, 16, 300, 1, 22050, True),
+]
+N_HOSTILE = 5  # 3 bit-flipped + 2 truncated level-7 members
 CORPUS_DIR = pathlib.Path(
-    f"/tmp/libacm_tpu_bench_v4_{N_SPEECH}+{N_MUSIC}x{NBLOCKS}"
+    f"/tmp/libacm_tpu_bench_v5_{N_SPEECH}+{N_MUSIC}mix"
 )
 REF_SRC = pathlib.Path("/root/reference/src")
 REF_BIN = pathlib.Path("/tmp/refbuild/src/acmtool")
@@ -50,28 +61,53 @@ def log(*a):
 
 
 def ensure_corpus() -> list[pathlib.Path]:
-    files = [CORPUS_DIR / f"speech_{i:03d}.acm" for i in range(N_SPEECH)]
-    files += [CORPUS_DIR / f"music_{i:03d}.acm" for i in range(N_MUSIC)]
+    from libacm_tpu import testing
+
+    specs = []
+    for i in range(N_SPEECH):
+        specs.append((f"speech_{i:03d}", LEVEL, ROWS, NBLOCKS, 1, RATE,
+                      False, 5, 4.0))
+    for i in range(N_MUSIC):
+        specs.append((f"music_{i:03d}", LEVEL, ROWS, NBLOCKS, 2, 44100,
+                      False, 8, 24.0))
+    for tag, cnt, lv, rw, nb, ch, rate, wavc in MINORITY:
+        for i in range(cnt):
+            specs.append((f"{tag}_{i:03d}", lv, rw, nb, ch, rate, wavc,
+                          5, 4.0))
+    files = [CORPUS_DIR / f"{name}.acm" for (name, *_) in specs]
+    files += [CORPUS_DIR / f"hostile_{i}.acm" for i in range(N_HOSTILE)]
     if all(f.exists() for f in files):
         return files
-    from libacm_tpu import testing
 
     log(f"synthesizing corpus into {CORPUS_DIR} (one-time)...")
     CORPUS_DIR.mkdir(parents=True, exist_ok=True)
-    for i, f in enumerate(files):
+    for i, (name, lv, rw, nb, ch, rate, wavc, pwr, decay) in enumerate(specs):
+        f = CORPUS_DIR / f"{name}.acm"
         if f.exists():
             continue
         rng = np.random.default_rng(2026 + i)  # per-file: resumable gen
-        music = f.name.startswith("music")
         f.write_bytes(
             testing.speech_acm_bytes(
-                rng, level=LEVEL, rows=ROWS, n_blocks=NBLOCKS,
-                channels=2 if music else 1,
-                rate=44100 if music else RATE,
-                base_pwr=8 if music else 5,
-                decay_cols=24.0 if music else 4.0,
+                rng, level=lv, rows=rw, n_blocks=nb, channels=ch, rate=rate,
+                base_pwr=pwr, decay_cols=decay, wavc=wavc,
             )
         )
+    for i in range(N_HOSTILE):
+        f = CORPUS_DIR / f"hostile_{i}.acm"
+        if f.exists():
+            continue
+        rng = np.random.default_rng(5000 + i)
+        data = testing.speech_acm_bytes(rng, level=LEVEL, rows=ROWS,
+                                        n_blocks=NBLOCKS, channels=1,
+                                        rate=RATE)
+        if i < 3:
+            b = bytearray(data)
+            for _ in range(8):
+                b[int(rng.integers(14, len(b)))] ^= 1 << int(rng.integers(0, 8))
+            data = bytes(b)
+        else:
+            data = data[: int(len(data) * 0.7)]
+        f.write_bytes(data)
     return files
 
 
@@ -95,13 +131,14 @@ def ensure_reference() -> pathlib.Path | None:
 
 def time_reference(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
     """Best-of-5 seconds for `acmtool -d -n -q <files>` (decode, no output;
-    min-of-N on both sides so host CPU contention cancels out)."""
+    min-of-N on both sides so host CPU contention cancels out). check is
+    off: hostile corpus members make the tool print errors, not fail."""
     argv = [str(ref), "-d", "-n", "-q"] + [str(f) for f in files]
-    subprocess.run(argv, check=True, capture_output=True)  # warm page cache
+    subprocess.run(argv, check=False, capture_output=True)  # warm page cache
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        subprocess.run(argv, check=True, capture_output=True)
+        subprocess.run(argv, check=False, capture_output=True)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -140,8 +177,9 @@ def time_framework(
         res = decode_corpus(paths)
         got = sum(len(r.pcm) for r in res if r.pcm is not None)
         dt = time.perf_counter() - t0
+        # hostile members decode partially by design; the decoded total
+        # is pinned by the warmup (self-consistency, not completeness)
         assert got == total_samples, (got, total_samples)
-        assert all(r.ok for r in res)
         return dt
 
     log("framework: warmup (compile)...")
@@ -173,12 +211,20 @@ def time_framework(
 
 def main() -> int:
     files = ensure_corpus()
-    n_files = N_SPEECH + N_MUSIC
-    total_samples = n_files * NBLOCKS * ROWS * (1 << LEVEL)
+    n_files = len(files)
+    # the decoded-sample total comes from an actual host decode (hostile
+    # members decode partially; both tools decode the same words)
+    from libacm_tpu.parallel import decode_corpus
+
+    res = decode_corpus([str(f) for f in files])
+    total_samples = sum(len(r.pcm) for r in res if r.pcm is not None)
+    n_buckets = len({(r.info.acm_level, r.info.acm_rows) for r in res
+                     if r.info is not None})
     wire = sum(f.stat().st_size for f in files)
-    log(f"corpus: {n_files} files x {NBLOCKS} blocks (level {LEVEL}, "
-        f"rows {ROWS}) = {total_samples/1e6:.1f} Msamples, "
-        f"{wire*8/total_samples:.2f} bits/sample on disk")
+    log(f"corpus: {n_files} files, {n_buckets} (level,rows) buckets "
+        f"(majority level {LEVEL}/rows {ROWS}; minority levels 0/4/10, "
+        f"WAVC, {N_HOSTILE} hostile) = {total_samples/1e6:.1f} Msamples "
+        f"decoded, {wire*8/total_samples:.2f} bits/sample on disk")
 
     ref = ensure_reference()
     if ref is not None:

@@ -192,12 +192,30 @@ def _read_source(src: Source) -> bytes:
         return f.read()
 
 
+def _peek_source(src: Source, n: int = 64) -> tuple[bytes, int]:
+    """(first n bytes, total byte length) without slurping file sources.
+
+    The bucketing pass needs only the header (<= 48 bytes) and the file
+    size; reading whole files here would make a 10k-file ingest hold the
+    entire corpus in host RSS up-front (BASELINE config 5).
+    """
+    if isinstance(src, (bytes, bytearray)):
+        return bytes(src[:n]), len(src)
+    with open(src, "rb") as f:
+        head = f.read(n)
+        size = os.fstat(f.fileno()).st_size
+    return head, size
+
+
 @dataclasses.dataclass
 class _FileEntry:
     index: int
-    data: bytes
+    #: original source; bytes are (re)loaded per chunk at scan time and
+    #: released after — corpus host RSS stays O(chunk), not O(corpus)
+    src: Source
     header: AcmHeader
     channels: int
+    nbytes: int
     # filled at scan time:
     n_good: int = 0  # committed (successful) blocks, errors skipped over
     first_err: int = 0
@@ -207,6 +225,9 @@ class _FileEntry:
     #: exact host-decoded PCM override (stale-amp-table streams take the
     #: oracle path; the device result for this file is ignored)
     host_pcm: np.ndarray | None = None
+
+    def load_data(self) -> bytes:
+        return _read_source(self.src)
 
 
 @dataclasses.dataclass
@@ -361,16 +382,30 @@ def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult
     )
 
 
-def _host_decode_fallback(e: _FileEntry) -> None:
-    """Exact host decode for stale-amp-table streams (see ScanResult).
+def _host_decode_fallback(e: _FileEntry, data: bytes | None = None) -> None:
+    """Exact host decode for stale-amp-table streams.
 
     Rare (corrupt/hostile streams only): the k*val dequantization the
     device performs cannot reproduce the reference's stale table reads, so
-    the file's PCM comes from the oracle instead; batch shape/dispatch is
-    unaffected (the device output for its slot is simply ignored)."""
+    the file's PCM comes from the fused native host decoder (which
+    reproduces the stale reads via its virtual table — see SynthEmitter
+    in _scan.cpp) or, without the native library, the oracle; batch
+    shape/dispatch is unaffected (the device output for this file's slot
+    is simply ignored)."""
+    if data is None:
+        data = e.load_data()
+    from ..scan import native as _native
+
+    if _native.available():
+        hd = _native.decode_host(data, e.header)
+        e.n_good = hd.n_good
+        e.first_err = hd.first_err
+        e.events = hd.events
+        e.host_pcm = hd.pcm
+        return
     from ..scan import oracle as _oracle
 
-    scan = _oracle.scan_bytes(e.data)
+    scan = _oracle.scan_bytes(data)
     e.n_good = scan.n_blocks
     _, e.first_err = _n_good(scan.events)
     e.events = scan.events
@@ -411,7 +446,7 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     if not chunk:  # empty shard group (chunk smaller than the mesh)
         return (cls, pay4[:0], pay8[:0], pay16[:0], vals,
                 np.zeros((0, 2 * cols - 2), dtype=np.int32))
-    max_bytes = max(len(e.data) for e in chunk)
+    max_bytes = max(e.nbytes for e in chunk)
     bufs = getattr(_SCAN_TLS, "bufs", None)
     if bufs is None or not bufs.fits(max_bytes):
         bufs = _native.CorpusScanBuffers(max_file_bytes=max(1 << 22, max_bytes))
@@ -419,13 +454,14 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
 
     o4 = o8 = o16 = 0
     for j, e in enumerate(chunk):
+        data = e.load_data()  # released at loop end: RSS stays O(file)
         ng, err, o4, o8, o16, oor, events = _native.scan_corpus_into(
-            e.data, e.header, cls[j], pwr[j], vals[j],
+            data, e.header, cls[j], pwr[j], vals[j],
             pay4, pay8, pay16, o4, o8, o16, bufs,
         )
         e.n_good, e.first_err, e.events = ng, err, events
         if oor:
-            _host_decode_fallback(e)
+            _host_decode_fallback(e, data)
 
     wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
     # buffers are calloc-zeroed beyond the counters, so padding to stable
@@ -494,22 +530,24 @@ def decode_corpus_device(
     t_start = time.perf_counter()
     out = DeviceCorpus(len(sources))
 
-    # 1. cheap header pass → buckets keyed by static shape
+    # 1. cheap header pass → buckets keyed by static shape. Only a 64-byte
+    # prefix + the file size are read here; full bytes load per chunk at
+    # scan time, so ingest RSS is O(chunk), not O(corpus) (BASELINE cfg 5)
     buckets: dict[tuple[int, int, int], list[_FileEntry]] = {}
     for i, src in enumerate(sources):
-        data = _read_source(src)
-        header = parse_header(BitReader(data))
+        head, nbytes = _peek_source(src)
+        header = parse_header(BitReader(head))
         if header is None:
             out._add_failed(FileResult(index=i, info=None, pcm=None,
                                        status=int(AcmError.ERR_NOT_ACM)))
             continue
         e = _FileEntry(
-            index=i, data=data, header=header,
+            index=i, src=src, header=header, nbytes=nbytes,
             channels=resolve_channels(header.channels, header.wavc_file,
                                       force_chans),
         )
         key = (header.level, header.rows,
-               _pad_blocks(header.max_blocks_in(len(data))))
+               _pad_blocks(header.max_blocks_in(nbytes)))
         buckets.setdefault(key, []).append(e)
 
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
@@ -607,12 +645,13 @@ def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
     k = np.zeros((b, nb, rows, cols), dtype=np.int16)
     vals = np.zeros((b, nb), dtype=np.int32)
     for j, e in enumerate(chunk):
-        scan = scan_bytes(e.data)
+        data = e.load_data()
+        scan = scan_bytes(data)
         e.n_good = scan.n_blocks
         _, e.first_err = _n_good(scan.events)
         e.events = scan.events
         if scan.n_exceptions:
-            _host_decode_fallback(e)  # stale-amp-table stream: exact path
+            _host_decode_fallback(e, data)  # stale-amp-table: exact path
         n = min(e.n_good, nb)
         if n:
             k[j, :n] = scan.k[:n]
@@ -757,7 +796,7 @@ def decode_stream_device(
         raise AcmException(AcmError.ERR_NOT_ACM)
     scan = scan_bytes(data)
     e = _FileEntry(
-        index=0, data=data, header=header,
+        index=0, src=source, header=header, nbytes=len(data),
         channels=resolve_channels(header.channels, header.wavc_file,
                                   force_chans),
     )
@@ -808,7 +847,7 @@ def decode_corpus_host(
                                       status=int(AcmError.ERR_NOT_ACM)))
             continue
         e = _FileEntry(
-            index=i, data=data, header=header,
+            index=i, src=src, header=header, nbytes=len(data),
             channels=resolve_channels(header.channels, header.wavc_file,
                                       force_chans),
         )

@@ -189,10 +189,10 @@ def time_framework(
     # sustained load and drains when idle); min-of-N with short cooldowns
     # measures the pipeline, not the weather.
     times = []
-    for i in range(8):
+    for i in range(10):
         times.append(run_device())
         log(f"  device run {i}: {times[-1]:.3f} s")
-        time.sleep(1.0)
+        time.sleep(1.5)  # let the relay queue drain between runs
     dev = min(times)
     host = min(run_host() for _ in range(3))
 

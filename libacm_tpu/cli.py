@@ -50,10 +50,21 @@ def _makefn(fn: str, ext: str) -> str:
     return (base if dot else fn) + ext
 
 
+#: files above this size decode through the bounded-memory windowed
+#: stream with the reference's exact 8 KiB read pattern (O(window) RSS)
+#: instead of the whole-file fast path
+_WINDOWED_DECODE_BYTES = 32 << 20
+
+
 def decode_file(fn: str, fn2: str, cf: _Config) -> None:
     """acmtool -d (acmtool.c:231-316): decode + WAV header + zero-pad tail."""
     try:
-        acm = acm_open_file(fn, cf.force_chans)
+        huge = os.path.getsize(fn) > _WINDOWED_DECODE_BYTES
+    except OSError:
+        huge = False
+    try:
+        acm = acm_open_file(fn, cf.force_chans,
+                            window_blocks=16 if huge else None)
     except AcmException as e:
         print(f"{fn}: {acm_strerror(e.code)}", file=sys.stderr)
         return
@@ -83,8 +94,14 @@ def decode_file(fn: str, fn2: str, cf: _Config) -> None:
     # size is observable ONLY through error streams (an error surfacing at
     # a chunk boundary stops the CLI; mid-chunk it is swallowed). For a
     # clean stream every chunk size yields identical bytes, so read big
-    # and keep the Python loop off the hot path.
-    chunk = buflen // 2 if acm.has_errors() else 4 << 20
+    # and keep the Python loop off the hot path. Huge files stream through
+    # a windowed AcmStream instead — there the reference's own 8 KiB
+    # pattern is used verbatim (identical semantics on EVERY stream, no
+    # full-file error pre-scan, O(window) memory).
+    if acm._win is not None:
+        chunk = buflen // 2
+    else:
+        chunk = buflen // 2 if acm.has_errors() else 4 << 20
     # C int arithmetic: a hostile header claiming ~2^30+ samples wraps this
     # negative and the reference emits nothing past the WAV header
     # (acmtool.c:272) — without the wrap a ~100-byte file would make us

@@ -7,8 +7,11 @@ from .corpus import (
     FileResult,
     decode_corpus,
     decode_corpus_device,
+    decode_corpus_host,
+    decode_stream_device,
     effective_stop,
     make_mesh,
+    resolve_device_backend,
 )
 from .random_access import BlockIndex, build_index, read_segment
 
@@ -21,7 +24,10 @@ __all__ = [
     "build_index",
     "decode_corpus",
     "decode_corpus_device",
+    "decode_corpus_host",
+    "decode_stream_device",
     "effective_stop",
     "make_mesh",
+    "resolve_device_backend",
     "read_segment",
 ]

@@ -426,26 +426,77 @@ def _n_good(events: np.ndarray) -> tuple[int, int]:
 _SCAN_TLS = threading.local()
 
 
+class _WireBufs:
+    """One chunk's reusable wire buffers + the dispatch that may still be
+    reading them. Allocating (and page-faulting) fresh multi-MB zeroed
+    payload buffers per chunk cost ~15% of the device pipeline's host CPU;
+    reuse needs only a small memset of the metadata arrays — the payload
+    pools are written append-only up to their counters and the device
+    gather never reads past them, so stale tail bytes are never observed.
+    """
+
+    def __init__(self, b: int, nb: int, level: int, rows: int):
+        cols = 1 << level
+        half = (rows + 1) // 2
+        ncols_cap = b * nb * cols
+        self.key = (b, nb, level, rows)
+        self.cls = np.zeros((b, nb, (cols + 3) // 4), dtype=np.uint8)
+        self.pwr = np.zeros((b, nb), dtype=np.uint8)
+        self.vals = np.zeros((b, nb), dtype=np.uint16)
+        self.wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
+        self.pay4 = np.empty((ncols_cap, half), dtype=np.int8)
+        self.pay8 = np.empty((ncols_cap, rows), dtype=np.int8)
+        self.pay16 = np.empty((ncols_cap, rows), dtype=np.int16)
+        self.fut = None  # in-flight dispatch still reading these buffers
+
+    def free(self) -> bool:
+        return self.fut is None or self.fut.done()
+
+    def reset(self) -> None:
+        # metadata must be zero (class codes drive the device cumsum
+        # gather; vals of padded blocks feed the checksum) — payloads not
+        self.cls[:] = 0
+        self.pwr[:] = 0
+        self.vals[:] = 0
+        self.fut = None
+
+
+def _acquire_wire_bufs(b: int, nb: int, level: int, rows: int) -> _WireBufs:
+    # The CPU backend zero-copies numpy arrays into jax.Arrays (aliasing:
+    # verified empirically), so a reused buffer would corrupt live device
+    # arrays — pool only on real accelerators, where transfers copy.
+    if jax.default_backend() == "cpu":
+        return _WireBufs(b, nb, level, rows)
+    pool: list[_WireBufs] = getattr(_SCAN_TLS, "wire_pool", None)
+    if pool is None:
+        pool = _SCAN_TLS.wire_pool = []
+    key = (b, nb, level, rows)
+    for w in pool:
+        if w.key == key and w.free():
+            w.reset()
+            return w
+    if len(pool) > 8:  # bound pool growth across many shapes
+        pool[:] = [w for w in pool if not w.free()]
+    w = _WireBufs(b, nb, level, rows)
+    pool.append(w)
+    return w
+
+
 def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     """Host half of the cols-wire path: one zero-copy native scan per file,
-    writing straight into the chunk's wire buffers (no assembly copies).
+    writing straight into the chunk's (pooled) wire buffers. Returns
+    (arrays, _WireBufs) — the caller attaches the dispatch future to the
+    buffer set so it is not reused while the transfer may still read it.
     Scratch buffers are thread-local (decode_corpus may run concurrently)."""
     from ..scan import native as _native
 
     cols = 1 << level
-    half = (rows + 1) // 2
     b = len(chunk)
-    ncols_cap = b * nb * cols
-    cls = np.zeros((b, nb, (cols + 3) // 4), dtype=np.uint8)
-    pwr = np.zeros((b, nb), dtype=np.uint8)
-    vals = np.zeros((b, nb), dtype=np.uint16)
-    pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
-    pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
-    pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
+    w = _acquire_wire_bufs(b, nb, level, rows)
 
     if not chunk:  # empty shard group (chunk smaller than the mesh)
-        return (cls, pay4[:0], pay8[:0], pay16[:0], vals,
-                np.zeros((0, 2 * cols - 2), dtype=np.int32))
+        return (w.cls, w.pay4[:0], w.pay8[:0], w.pay16[:0], w.vals,
+                np.zeros((0, 2 * cols - 2), dtype=np.int32)), w
     max_bytes = max(e.nbytes for e in chunk)
     bufs = getattr(_SCAN_TLS, "bufs", None)
     if bufs is None or not bufs.fits(max_bytes):
@@ -456,18 +507,18 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     for j, e in enumerate(chunk):
         data = e.load_data()  # released at loop end: RSS stays O(file)
         ng, err, o4, o8, o16, oor, events = _native.scan_corpus_into(
-            data, e.header, cls[j], pwr[j], vals[j],
-            pay4, pay8, pay16, o4, o8, o16, bufs,
+            data, e.header, w.cls[j], w.pwr[j], w.vals[j],
+            w.pay4, w.pay8, w.pay16, o4, o8, o16, bufs,
         )
         e.n_good, e.first_err, e.events = ng, err, events
         if oor:
             _host_decode_fallback(e, data)
 
-    wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
-    # buffers are calloc-zeroed beyond the counters, so padding to stable
-    # compiled shapes is a contiguous zero-copy slice
-    return (cls, pay4[: _round_up(o4, 4096)], pay8[: _round_up(o8, 4096)],
-            pay16[: _round_up(o16, 4096)], vals, wrap0)
+    # payload pools are append-only up to the counters; padding the slice
+    # to stable 4096-row shapes may expose stale (never-gathered) rows
+    return (w.cls, w.pay4[: _round_up(o4, 4096)],
+            w.pay8[: _round_up(o8, 4096)],
+            w.pay16[: _round_up(o16, 4096)], w.vals, w.wrap0), w
 
 
 def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
@@ -564,6 +615,7 @@ def decode_corpus_device(
     # overlaps chunk N's transfer.
     submitter = ThreadPoolExecutor(max_workers=1)
     pending: list = []
+    n_collected = 0
     try:
         for (level, rows, nb), entries in buckets.items():
             cols = 1 << level
@@ -583,6 +635,13 @@ def decode_corpus_device(
                 step = min(256, max(8, -(-8_000_000 // per_file))) * n_shards
             for lo in range(0, len(entries), step):
                 chunk = entries[lo : lo + step]
+                # bound in-flight dispatches: caps host memory at
+                # O(few chunks) of wire arrays and lets their pooled
+                # buffers recycle (scan of chunk N still overlaps the
+                # device work of chunks N-1 and N-2)
+                while len(pending) - n_collected >= 3:
+                    out._add_bucket(pending[n_collected].result())
+                    n_collected += 1
                 if use_cols_wire and mesh is not None:
                     # packed + sharded: scan per shard group (payload
                     # offsets restart per group so gathers stay local),
@@ -591,32 +650,38 @@ def decode_corpus_device(
                     t0 = time.perf_counter()
                     per = -(-len(chunk) // n_shards)
                     groups = []
+                    wires = []
                     for s in range(n_shards):
                         g = chunk[s * per : (s + 1) * per]
-                        groups.append((g, _scan_cols_wire(g, level, rows, nb)
-                                       if g else
-                                       _scan_cols_wire([], level, rows, nb)))
+                        arrays, w = _scan_cols_wire(g, level, rows, nb)
+                        groups.append((g, arrays))
+                        wires.append(w)
                     out.summary.scan_s += time.perf_counter() - t0
-                    pending.append(submitter.submit(
+                    fut = submitter.submit(
                         _dispatch_cols_wire_sharded, mesh, groups, chunk,
                         level, rows, nb, eff,
-                    ))
+                    )
+                    for w in wires:
+                        w.fut = fut
+                    pending.append(fut)
                     continue
                 if use_cols_wire:
                     t0 = time.perf_counter()
-                    arrays = _scan_cols_wire(chunk, level, rows, nb)
+                    arrays, w = _scan_cols_wire(chunk, level, rows, nb)
                     out.summary.scan_s += time.perf_counter() - t0
-                    pending.append(submitter.submit(
+                    fut = submitter.submit(
                         _dispatch_cols_wire, arrays, chunk, level, rows, nb,
                         eff,
-                    ))
+                    )
+                    w.fut = fut
+                    pending.append(fut)
                     continue
                 out._add_bucket(
                     _dispatch_dense(chunk, level, rows, nb, wlen, mesh,
                                     n_shards, synth_fn,
                                     pack=pack and eff == "jax")
                 )
-        for fut in pending:
+        for fut in pending[n_collected:]:
             out._add_bucket(fut.result())
     finally:
         submitter.shutdown(wait=False)

@@ -140,3 +140,31 @@ def test_stdout_output(fixtures_dir):
     raw = cap.buffer.getvalue()
     want = oracle.decode_bytes(src.read_bytes())[1]
     assert raw[: len(want) * 2] == want.astype("<i2").tobytes()
+
+
+def test_windowed_decode_path_bytes_equal(tmp_path, monkeypatch):
+    """Huge files decode through the windowed stream (reference 8 KiB read
+    pattern, O(window) memory); the output bytes must equal the fast path
+    on clean AND hostile streams."""
+    rng = np.random.default_rng(99)
+    for hostile in (False, True):
+        data = testing.speech_acm_bytes(rng, level=6, rows=16, n_blocks=30)
+        if hostile:
+            b = bytearray(data)
+            b[200] ^= 0xFF
+            data = bytes(b)
+        src = tmp_path / f"in_{hostile}.acm"
+        src.write_bytes(data)
+
+        def run(out):
+            err = io.StringIO()
+            with contextlib.redirect_stderr(err):
+                cli.main(["-d", "-r", "-q", "-o", str(out), str(src)])
+            return out.read_bytes(), err.getvalue()
+
+        fast, err_fast = run(tmp_path / "fast.raw")
+        monkeypatch.setattr(cli, "_WINDOWED_DECODE_BYTES", 0)
+        win, err_win = run(tmp_path / "win.raw")
+        monkeypatch.undo()
+        assert win == fast
+        assert ("filler_samples" in err_win) == ("filler_samples" in err_fast)

@@ -210,7 +210,8 @@ def synth_pcm_cols(
     """Batched synth from the per-column wire format (scanner packed mode).
 
     The C++ scanner emits column payloads classified {zero,4,8,16}-bit by
-    observed range; only those payloads plus a 2-bit/column class map
+    filler code (every non-linear filler fits 4 bits; linear widths map
+    directly); only those payloads plus a 2-bit/column class map
     cross the host↔device link. Unpack (cumsum + gather) and synthesis fuse
     into one device program. backend="pallas" runs the filterbank through
     the fused VMEM kernel (ops.synth_pallas) instead of the XLA pass chain.

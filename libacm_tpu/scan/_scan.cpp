@@ -12,7 +12,7 @@
 //   - dense:  k[int16, nb*rows*cols] coefficient tensors (streaming path);
 //   - packed: per-column width classes {zero,4,8,16 bits} + packed payload
 //     streams, the wire format the corpus layer ships to the TPU (columns
-//     are classified by observed range; unpacking happens on device).
+//     are classified by filler code; unpacking happens on device).
 //
 // Semantics contract (same as the oracle, keep in sync):
 //   - bits are LSB-first from a little-endian byte stream;
@@ -680,7 +680,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
           }
         }
       }
-      em.emit_column(c, col_tmp);
+      em.emit_column(c, static_cast<int>(ind), col_tmp);
     }
     if (clean_eof) {
       em.rollback_block();
@@ -732,7 +732,7 @@ struct DenseEmitter {
     std::memset(k_out + nb * block_elems, 0, block_elems * sizeof(int16_t));
   }
   void table_update(uint32_t, uint32_t) {}  // ships indexes, not values
-  void emit_column(int c, const int16_t* col) {
+  void emit_column(int c, int /*ind*/, const int16_t* col) {
     int16_t* base = k_out + nb * block_elems + c;
     for (int i = 0; i < rows; i++) base[static_cast<int64_t>(i) * cols] = col[i];
   }
@@ -857,7 +857,7 @@ struct SynthEmitter {
       covered[e] = true;
     }
   }
-  void emit_column(int c, const int16_t* col) {
+  void emit_column(int c, int /*ind*/, const int16_t* col) {
     int16_t* base = kbuf + c;
     for (int i = 0; i < rows; i++)
       base[static_cast<int64_t>(i) * cols] = col[i];
@@ -904,7 +904,7 @@ struct SynthEmitter {
 };
 
 // Packed wire format: per column a 2-bit class code {0:zero, 1:4-bit,
-// 2:8-bit, 3:16-bit} chosen from the observed range (four codes per byte,
+// 2:8-bit, 3:16-bit} chosen from the filler code (four codes per byte,
 // LSB pair first, (cols+3)/4 bytes per block); payloads are
 // column-contiguous (4-bit: two rows per byte, odd row padded with a zero
 // nibble).
@@ -927,17 +927,22 @@ struct PackedEmitter {
     std::memset(cls_out + nb * cls_stride(), 0, cls_stride());
   }
   void table_update(uint32_t, uint32_t) {}  // ships indexes, not values
-  void emit_column(int c, const int16_t* col) {
-    int16_t mn = 0, mx = 0;
-    for (int i = 0; i < rows; i++) {
-      mn = std::min(mn, col[i]);
-      mx = std::max(mx, col[i]);
-    }
-    uint8_t code;
-    if (mn == 0 && mx == 0) {
-      code = 0;
-    } else if (mn >= -8 && mx <= 7) {
-      code = 1;
+  // Width class from the FILLER CODE, not the observed range: every
+  // non-linear filler emits |k| <= 5 (4-bit nibbles), and linear widths
+  // map directly (3-4 -> 4-bit exactly, 5-8 -> 8-bit, 9-16 -> 16-bit) —
+  // no min/max pass. Minimal-width encoders (ours included) pick the
+  // narrowest covering filler, so the wire is the same size as
+  // range-classification except for rare boundary columns; the unpack
+  // gather is class-map-driven either way, so this is purely a scan-side
+  // choice.
+  static inline uint8_t class_of(int ind) {
+    if (ind >= 9 && ind <= 16) return 3;
+    if (ind >= 5 && ind <= 8) return 2;
+    return 1;
+  }
+  void emit_column(int c, int ind, const int16_t* col) {
+    uint8_t code = class_of(ind);
+    if (code == 1) {
       int8_t* dst = pay4 + n4 * ((rows + 1) / 2);
       for (int i = 0; i < rows; i += 2) {
         int lo = col[i] & 0xF;
@@ -945,13 +950,11 @@ struct PackedEmitter {
         dst[i / 2] = static_cast<int8_t>(lo | (hi << 4));
       }
       n4++;
-    } else if (mn >= -128 && mx <= 127) {
-      code = 2;
+    } else if (code == 2) {
       int8_t* dst = pay8 + n8 * rows;
       for (int i = 0; i < rows; i++) dst[i] = static_cast<int8_t>(col[i]);
       n8++;
     } else {
-      code = 3;
       std::memcpy(pay16 + n16 * rows, col, rows * sizeof(int16_t));
       n16++;
     }

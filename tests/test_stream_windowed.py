@@ -224,3 +224,32 @@ def test_windowed_telemetry_and_state():
     win.read_loop(5000)
     assert win.pcm_tell() == ref.pcm_tell()
     assert win.time_tell() == ref.time_tell()
+
+
+def test_player_simulation_interactive_seek():
+    """The player-plugin usage shape (SURVEY §3.5: gstreamer/winamp decode
+    loop + UI-thread seek requests): a windowed stream driven in small
+    playback chunks with interleaved forward/backward seeks must produce
+    exactly the bytes a slurped stream produces under the same schedule."""
+    rng = np.random.default_rng(31)
+    data = testing.speech_acm_bytes(rng, level=6, rows=16, n_blocks=25,
+                                    channels=2, rate=44100)
+    ref = acm_open_decoder(data)
+    win = AcmStream(io.BytesIO(data), window_blocks=3)
+    schedule = []  # (kind, arg) replay log for debugging
+    chunk = 4096  # the reference play loop's 4 KiB (acmtool.c:118-128)
+    for step in range(200):
+        r = rng.random()
+        if r < 0.08:
+            pos = int(rng.integers(0, ref.pcm_total()))
+            schedule.append(("seek", pos))
+            assert win.seek_pcm(pos) == ref.seek_pcm(pos), schedule[-3:]
+            assert win.pcm_tell() == ref.pcm_tell()
+        else:
+            schedule.append(("read", chunk))
+            a = ref.read_loop(chunk)
+            b = win.read_loop(chunk)
+            assert a == b, schedule[-3:]
+            if not a:
+                break
+    assert win.time_tell() == ref.time_tell()

@@ -776,10 +776,14 @@ def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
         return pcm, wrapf
 
     spec_b = P("files")
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the default replication check rejects; the program
+    # is embarrassingly parallel (no collectives), so the check buys nothing
     return jax.jit(shard_map(
         per_shard, mesh=mesh,
         in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
         out_specs=(spec_b, spec_b),
+        check_vma=False,
     ))
 
 

@@ -168,3 +168,56 @@ def test_windowed_decode_path_bytes_equal(tmp_path, monkeypatch):
         monkeypatch.undo()
         assert win == fast
         assert ("filler_samples" in err_win) == ("filler_samples" in err_fast)
+
+
+def test_play_streams_progressively(tmp_path, monkeypatch):
+    """-p (C16 play): drive play_file with a stub sounddevice and check the
+    played bytes equal the decode, arrive in reference-sized (4 KiB)
+    chunks BEFORE the stream is fully consumed (progressive playback, not
+    decode-then-play), and that filler zeros pad a truncated file."""
+    import types
+
+    rng = np.random.default_rng(55)
+    data = testing.speech_acm_bytes(rng, level=5, rows=16, n_blocks=12,
+                                    rate=22050)
+    src = tmp_path / "p.acm"
+    src.write_bytes(data)
+
+    played = []
+
+    class StubStream:
+        def __init__(self, samplerate, channels, dtype):
+            assert (samplerate, channels, dtype) == (22050, 1, "int16")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            pass
+
+        def write(self, buf):
+            played.append(bytes(buf))
+
+    stub = types.SimpleNamespace(RawOutputStream=StubStream)
+    monkeypatch.setitem(sys.modules, "sounddevice", stub)
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        cli.main(["-p", "-q", str(src)])
+    blob = b"".join(played)
+    want = oracle.decode_bytes(data)[1].astype("<i2").tobytes()
+    assert blob == want
+    assert max(len(c) for c in played) <= 4096  # reference ao_play chunking
+    assert "filler" not in err.getvalue()
+
+    # truncated file: played bytes = decoded prefix + zero filler + notice
+    played.clear()
+    cut = tmp_path / "cut.acm"
+    cut.write_bytes(data[: len(data) * 2 // 3])
+    with contextlib.redirect_stderr(err):
+        cli.main(["-p", "-q", str(cut)])
+    blob2 = b"".join(played)
+    assert len(blob2) == len(want)  # padded to the declared total
+    assert blob2[: 100] == want[: 100]
+    assert blob2.endswith(bytes(64))
+    assert "filler_samples" in err.getvalue()

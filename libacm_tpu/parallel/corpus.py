@@ -382,6 +382,16 @@ def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult
     )
 
 
+def _apply_host_decode(e: _FileEntry, hd) -> None:
+    """Copy a native HostDecode result into a _FileEntry (single site for
+    the field mapping — used by both the corpus host path and the
+    stale-amp-table fallback)."""
+    e.n_good = hd.n_good
+    e.first_err = hd.first_err
+    e.events = hd.events
+    e.host_pcm = hd.pcm
+
+
 def _host_decode_fallback(e: _FileEntry, data: bytes | None = None) -> None:
     """Exact host decode for stale-amp-table streams.
 
@@ -397,11 +407,7 @@ def _host_decode_fallback(e: _FileEntry, data: bytes | None = None) -> None:
     from ..scan import native as _native
 
     if _native.available():
-        hd = _native.decode_host(data, e.header)
-        e.n_good = hd.n_good
-        e.first_err = hd.first_err
-        e.events = hd.events
-        e.host_pcm = hd.pcm
+        _apply_host_decode(e, _native.decode_host(data, e.header))
         return
     from ..scan import oracle as _oracle
 
@@ -799,11 +805,6 @@ def _dispatch_cols_wire_sharded(mesh, groups, chunk, level: int, rows: int,
     cols = 1 << level
     b_shard = max(len(g) for g, _ in groups)
 
-    def _pad_rows(a, n0, b):
-        out = np.zeros((n0,) + a.shape[1:], dtype=a.dtype)
-        out[: a.shape[0]] = a
-        return out
-
     # pad payload pools to stable 4096 multiples (compile-shape hygiene)
     p4n = _round_up(max(g[1][1].shape[0] for g in groups), 4096)
     p8n = _round_up(max(g[1][2].shape[0] for g in groups), 4096)
@@ -927,11 +928,7 @@ def decode_corpus_host(
         # bit-exact even on stale-amp-table streams: the fused native
         # decoder reproduces the reference's stale reads via the virtual
         # table (see SynthEmitter in _scan.cpp) — no oracle fallback
-        hd = _native.decode_host(data, header)
-        e.n_good = hd.n_good
-        e.first_err = hd.first_err
-        e.events = hd.events
-        e.host_pcm = hd.pcm
+        _apply_host_decode(e, _native.decode_host(data, header))
         results.append(_finalize(e, e.host_pcm, header.block_len))
     return results
 
@@ -954,8 +951,15 @@ def decode_corpus(
     device synthesis (e.g. when the same corpus is also consumed on device)
     or "host" to require the native path. A `mesh` implies device decode.
     """
-    if config is not None and config.backend != "auto":
-        backend = config.backend
+    if config is not None:
+        # config wins over the keyword defaults, exactly as in
+        # decode_corpus_device — the host fast path must see the same
+        # force_chans a device run would
+        force_chans = config.force_chans
+        chunk_files = config.chunk_files
+        pack = config.pack
+        if config.backend != "auto":
+            backend = config.backend
     if backend in ("auto", "host") and mesh is None:
         from ..scan import native as _native
 

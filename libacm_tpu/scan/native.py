@@ -15,6 +15,7 @@ import os
 import pathlib
 import subprocess
 import tempfile
+import threading
 
 import numpy as np
 
@@ -396,15 +397,22 @@ class HostDecodeScratch:
         self.meta = np.zeros(12, dtype=np.int64)
 
 
-_SCRATCH: dict[tuple[int, int], HostDecodeScratch] = {}
+# Thread-local: the GIL is released during acm_decode_host, so concurrent
+# decode_host/synth_dense calls (decode_corpus from two threads, parallel
+# windowed streams) would otherwise share and corrupt one scratch set.
+_SCRATCH_TLS = threading.local()
 
 
 def _scratch(level: int, rows: int) -> HostDecodeScratch:
-    s = _SCRATCH.get((level, rows))
+    cache: dict[tuple[int, int], HostDecodeScratch] | None = getattr(
+        _SCRATCH_TLS, "cache", None)
+    if cache is None:
+        cache = _SCRATCH_TLS.cache = {}
+    s = cache.get((level, rows))
     if s is None:
-        if len(_SCRATCH) > 64:
-            _SCRATCH.clear()
-        s = _SCRATCH[(level, rows)] = HostDecodeScratch(level, rows)
+        if len(cache) > 64:
+            cache.clear()
+        s = cache[(level, rows)] = HostDecodeScratch(level, rows)
     return s
 
 

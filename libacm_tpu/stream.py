@@ -546,6 +546,8 @@ class AcmStream:
                 f"state has channels={st.force_channels}, "
                 f"stream has {self.info.channels}",
             )
+        if self._win is not None:
+            self._resume_windowed(st)
         self._stream_pos = st.stream_pos
         self._block_pos = st.block_pos
         self._block_ready = st.block_ready
@@ -554,6 +556,52 @@ class AcmStream:
         self._blocks_popped = st.blocks_popped
         self._end_attempted = st.end_attempted
         self._post_seek = st.post_seek
+
+    def _resume_windowed(self, st: DecodeState) -> None:
+        """Re-position the sliding window at a snapshot's decode position.
+
+        The window holds only O(window_blocks) state, so restoring the
+        cursors alone would desync it from its block cache and resume
+        point; like the reference's backward seek (util.c:214-253) this
+        resets and replays forward — O(position) work, O(window) memory.
+        The cursors land exactly on the snapshot's values afterwards
+        because the decode is deterministic; trailing error events
+        consumed at the same word position re-materialize lazily."""
+        w = self._win
+        if st.stream_pos < self._stream_pos:
+            if not self._can_seek:
+                raise AcmException(AcmError.ERR_NOT_SEEKABLE)
+            self._stream_pos = 0
+            self._block_pos = 0
+            self._block_ready = False
+            self._event_idx = 0
+            self._cur_block = 0
+            self._blocks_popped = 0
+            self._end_attempted = False
+            w.reset()
+        while self._stream_pos < st.stream_pos:
+            step = min(2048, st.stream_pos - self._stream_pos)
+            res = self._read_core(step * 2, True, 0, 2, 1)
+            if not isinstance(res, int):
+                break  # b"" — stream ended before the snapshot position
+            # negative codes: a failed attempt's event was consumed; the
+            # original reads continued past it too, so keep replaying
+        if self._stream_pos != st.stream_pos:
+            raise AcmException(
+                AcmError.ERR_OTHER,
+                "snapshot position unreachable (different stream?)")
+        if st.event_idx > 0:
+            # materialize events (and their committed blocks) up to the
+            # snapshot's cursor: the replay stops at the word position, but
+            # the original may have consumed further events there (failed
+            # attempts, or a block popped by a zero-word read) whose
+            # ev_bits/blocks raw_tell and the next read will index
+            w.ensure_event(st.event_idx - 1)
+        if st.end_attempted:
+            # raw_tell after a terminal-EOF attempt needs w.end_bits
+            while not w.terminal:
+                w._fill()
+            w.drop_below(st.blocks_popped)
 
     # -- seeking (util.c:206-253) -----------------------------------------
 
@@ -638,11 +686,20 @@ class AcmStream:
             return v // 8
 
         # the clamp matters only when B sits inside the file's final
-        # (truncated) reload — resolve EOF by reading ahead if needed
-        if self._end_attempted:
-            w.ensure_extent(-(-w.end_bits // 32) * 4)
-        elif self._event_idx > 0:
-            w.ensure_extent(-(-w.ev_bits[self._event_idx - 1] // 32) * 4)
+        # (truncated) reload — resolve EOF by reading ahead if needed.
+        # Post-seek, reload boundaries restart at data_start (the reader
+        # re-opened there), so the extent is data_start-relative; the
+        # absolute formula would under-request by up to 3 bytes whenever
+        # data_start % 4 != 0 (always, for plain ACM's 14).
+        B = (w.end_bits if self._end_attempted
+             else w.ev_bits[self._event_idx - 1] if self._event_idx > 0
+             else None)
+        if B is not None:
+            if self._post_seek:
+                ds = self._header.data_start
+                w.ensure_extent(ds + -(-(B - 8 * ds) // 32) * 4)
+            else:
+                w.ensure_extent(-(-B // 32) * 4)
 
         if not self._post_seek:
             total = 8 * (w.file_len + 1) if w.file_len is not None else None

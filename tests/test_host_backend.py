@@ -101,3 +101,51 @@ def test_synth_dense_matches_decode_scan_result_jax():
         host = decode_scan_result(scan, backend="host")
         jaxp = decode_scan_result(scan, backend="jax")
         np.testing.assert_array_equal(host, jaxp)
+
+
+def test_decode_host_thread_safe():
+    """Concurrent decode_host calls (same (level, rows) geometry) must not
+    share scratch: the GIL is released inside acm_decode_host, so shared
+    kbuf/xbuf/ybuf would silently corrupt PCM (regression: 2 threads
+    produced ~13% wrong results before scratch went thread-local)."""
+    import threading
+
+    rng = np.random.default_rng(7)
+    # long streams: the ctypes call releases the GIL for milliseconds, so
+    # two workers really do overlap inside the native decode
+    datas = [testing.speech_acm_bytes(rng, level=7, rows=16, n_blocks=40)
+             for _ in range(4)]
+    want = [native.decode_host(d).pcm.copy() for d in datas]
+    bad = []
+
+    def worker(off):
+        for i in range(40):
+            j = (off + i) % len(datas)
+            got = native.decode_host(datas[j]).pcm
+            if not np.array_equal(got, want[j]):
+                bad.append((off, i, j))
+
+    ts = [threading.Thread(target=worker, args=(o,)) for o in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not bad, bad[:5]
+
+
+def test_corpus_config_force_chans_consistent_across_backends():
+    """CorpusConfig.force_chans must reach every backend the same way —
+    the host fast path used to drop it (regression)."""
+    from libacm_tpu.parallel import CorpusConfig
+
+    rng = np.random.default_rng(9)
+    data = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=4,
+                                    channels=1)
+    cfg = CorpusConfig(force_chans=2)
+    r_host = decode_corpus([data], config=cfg)[0]
+    r_dev = decode_corpus([data], config=CorpusConfig(force_chans=2,
+                                                      backend="jax"))[0]
+    assert r_host.info.channels == 2
+    assert r_dev.info.channels == 2
+    assert np.array_equal(r_host.pcm, r_dev.pcm)
+    assert r_host.filler_words == r_dev.filler_words

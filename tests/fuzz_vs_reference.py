@@ -141,7 +141,7 @@ def one_round(rng: np.random.Generator) -> str:
         buf = bytearray()
         cut_state = None
         cut_at = int(rng.integers(0, 4 * len(want) + 2)) \
-            if rng.random() < 0.3 and not windowed else None
+            if rng.random() < 0.3 else None
         while True:
             try:
                 chunk = s.read_loop(8192)
@@ -165,7 +165,13 @@ def one_round(rng: np.random.Generator) -> str:
         from libacm_tpu.stream import DecodeState
 
         done, st = cut_state
-        s2 = acm_open_decoder(data)
+        if windowed:
+            # fresh windowed stream at position 0: a forward-only replay,
+            # so even a read()-only source resumes
+            s2 = AcmStream(_NoLenSource(data),
+                           window_blocks=int(rng.integers(1, 5)))
+        else:
+            s2 = acm_open_decoder(data)
         s2.set_state(DecodeState.from_json(st))
         rest = bytearray()
         while True:

@@ -129,32 +129,35 @@ def ensure_reference() -> pathlib.Path | None:
         return None
 
 
-def time_reference(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
-    """Best-of-5 seconds for `acmtool -d -n -q <files>` (decode, no output;
-    min-of-N on both sides so host CPU contention cancels out). check is
-    off: hostile corpus members make the tool print errors, not fail."""
+def time_reference_once(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
+    """One timed `acmtool -d -n -q <files>` run (decode, no output — the
+    reference's own benchmark mode). check is off: hostile corpus members
+    make the tool print errors, not fail."""
     argv = [str(ref), "-d", "-n", "-q"] + [str(f) for f in files]
-    subprocess.run(argv, check=False, capture_output=True)  # warm page cache
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        subprocess.run(argv, check=False, capture_output=True)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    t0 = time.perf_counter()
+    subprocess.run(argv, check=False, capture_output=True)
+    return time.perf_counter() - t0
 
 
-def time_framework(
-    files: list[pathlib.Path], total_samples: int
-) -> tuple[float, float, dict]:
-    """(device-resident seconds, host-fetch seconds, backend shootout).
+def time_all(
+    ref: pathlib.Path | None, files: list[pathlib.Path], total_samples: int
+) -> tuple[float, float, float | None, dict]:
+    """(device s, host s, reference s | None, backend shootout).
 
     Device-resident is the headline: the corpus-decode use case is dataset
     ingest for TPU jobs, where PCM is consumed on device (and the
     reference's own benchmark mode, `acmtool -n`, likewise discards its
     output). The checksum is a device reduction that forces every PCM
-    sample to materialize; only scalars cross the wire. The shootout times
-    the XLA pass chain vs the fused Pallas kernel on the same corpus so
-    the `auto` backend selection is grounded in a hardware measurement.
+    sample to materialize; only scalars cross the wire.
+
+    Reference and framework runs are INTERLEAVED round-robin: this host's
+    CPU throughput drifts ±30% between "idle" windows, so sequential
+    phases would measure the weather, not the decoders; min-of-N over
+    interleaved rounds makes the ratio meaningful (and short cooldowns
+    let the TPU relay queue drain between device runs). The shootout
+    times the XLA pass chain vs the fused Pallas kernel on the same
+    corpus so the `auto` backend selection is grounded in a hardware
+    measurement.
     """
     from libacm_tpu.parallel import decode_corpus, decode_corpus_device
 
@@ -185,16 +188,17 @@ def time_framework(
     log("framework: warmup (compile)...")
     run_device()
     run_host()
-    # The TPU relay's throughput is volatile (congestion builds under
-    # sustained load and drains when idle); min-of-N with short cooldowns
-    # measures the pipeline, not the weather.
-    times = []
-    for i in range(10):
-        times.append(run_device())
-        log(f"  device run {i}: {times[-1]:.3f} s")
-        time.sleep(1.5)  # let the relay queue drain between runs
-    dev = min(times)
-    host = min(run_host() for _ in range(3))
+    if ref is not None:
+        time_reference_once(ref, files)  # warm page cache
+    dev_t, host_t, ref_t = [], [], []
+    for i in range(7):
+        if ref is not None:
+            ref_t.append(time_reference_once(ref, files))
+        dev_t.append(run_device())
+        host_t.append(run_host())
+        log(f"  round {i}: ref={ref_t[-1] if ref_t else float('nan'):.3f} "
+            f"device={dev_t[-1]:.3f} host={host_t[-1]:.3f} s")
+        time.sleep(1.5)  # let the relay queue drain between rounds
 
     shoot = {}
     for backend in ("jax", "pallas"):
@@ -206,7 +210,8 @@ def time_framework(
         except Exception as e:  # pallas may be unsupported on this backend
             log(f"  backend {backend}: failed ({type(e).__name__}: {e})")
             shoot[backend] = None
-    return dev, host, shoot
+    return (min(dev_t), min(host_t),
+            min(ref_t) if ref_t else None, shoot)
 
 
 def main() -> int:
@@ -227,15 +232,15 @@ def main() -> int:
         f"decoded, {wire*8/total_samples:.2f} bits/sample on disk")
 
     ref = ensure_reference()
-    if ref is not None:
-        ref_s = time_reference(ref, files)
+    if ref is None:
+        log("reference binary unavailable; vs_baseline=null")
+
+    fw_s, host_s, ref_s, shoot = time_all(ref, files, total_samples)
+    if ref_s is not None:
         ref_msps = total_samples / ref_s / 1e6
         log(f"reference acmtool -n: {ref_s:.3f} s = {ref_msps:.1f} Msamples/s")
     else:
         ref_msps = None
-        log("reference binary unavailable; vs_baseline=null")
-
-    fw_s, host_s, shoot = time_framework(files, total_samples)
     fw_msps = total_samples / fw_s / 1e6
     host_msps = total_samples / host_s / 1e6
     realtime = fw_msps * 1e6 / RATE

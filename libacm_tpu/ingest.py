@@ -37,6 +37,9 @@ def iter_pcm(
     batch_files = max(1, batch_files)
     for lo in range(0, len(sources), batch_files):
         for r in decode_corpus(sources[lo : lo + batch_files], config=cfg):
+            # decode_corpus indexes within its chunk; re-anchor to the
+            # caller's manifest so file_index survives batching
+            r.index += lo
             yield r
 
 
@@ -91,6 +94,7 @@ def decode_to_wav_dir(
     for lo in range(0, len(srcs), max(1, batch_files)):
         chunk = srcs[lo : lo + batch_files]
         for src, r in zip(chunk, decode_corpus(chunk, config=config)):
+            r.index += lo  # re-anchor chunk-relative index to the manifest
             results.append(r)
             if r.pcm is None:
                 continue

@@ -227,7 +227,12 @@ class _FileEntry:
     host_pcm: np.ndarray | None = None
 
     def load_data(self) -> bytes:
-        return _read_source(self.src)
+        try:
+            return _read_source(self.src)
+        except OSError:
+            # file vanished between the header peek and the chunk scan:
+            # decode as empty (UNEXPECTED_EOF status), keep the batch alive
+            return b""
 
 
 @dataclasses.dataclass
@@ -238,9 +243,9 @@ class _BucketOut:
     rows: int
     entries: list[_FileEntry]
     pcm: jax.Array  # int16 [B, nb, rows*cols] (padded files/blocks included)
-    #: row of `pcm` for each entry (None: identity). The sharded packed
-    #: path pads each shard group, so entry j may live at a later row.
-    slots: list[int] | None = None
+    # entries[j] always lives at pcm row j: shard groups are prefix-full
+    # (every nonempty group before the last has exactly ceil(n/n_shards)
+    # entries), so group-major positions and padded rows coincide.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -314,11 +319,21 @@ class DeviceCorpus:
     def checksum(self) -> int:
         """Device-side reduction over all decoded PCM (forces
         materialization; fetches only scalars). All buckets reduce inside
-        one jitted program — a single host↔device round-trip."""
+        one jitted program — a single host↔device round-trip.
+
+        Padded rows/blocks are masked out (a padded all-zero block still
+        synthesizes nonzero PCM via the rounding bias and inherited
+        carry), so the digest depends only on corpus content — the same
+        value for any chunk_files / mesh / backend configuration."""
         if not self._buckets:
             return 0
-        total = _sum_all(*[b.pcm for b in self._buckets])
-        return int(total) & 0xFFFFFFFF
+        args = []
+        for b in self._buckets:
+            ng = np.zeros(b.pcm.shape[0], dtype=np.int32)
+            for j, e in enumerate(b.entries):
+                ng[j] = min(e.n_good, b.pcm.shape[1])
+            args += [b.pcm, ng]
+        return int(_sum_all(*args)) & 0xFFFFFFFF
 
     def device_arrays(self) -> list[tuple[list[int], jax.Array]]:
         """[(file_indices, int16 pcm [B, nb, block_len])] per bucket."""
@@ -333,15 +348,22 @@ class DeviceCorpus:
             block_len = b.rows << b.level
             host = np.asarray(jax.device_get(b.pcm))
             for j, e in enumerate(b.entries):
-                row = b.slots[j] if b.slots is not None else j
-                results[e.index] = _finalize(e, host[row].reshape(-1),
+                results[e.index] = _finalize(e, host[j].reshape(-1),
                                              block_len)
         return results  # type: ignore[return-value]
 
 
 @jax.jit
-def _sum_all(*arrs):
-    return sum(jnp.sum(a.astype(jnp.int32), dtype=jnp.int32) for a in arrs)
+def _sum_all(*args):
+    """Masked content digest: args alternate (pcm [B, nb, L], n_good [B])."""
+    tot = jnp.int32(0)
+    for i in range(0, len(args), 2):
+        pcm, ng = args[i], args[i + 1]
+        mask = jnp.arange(pcm.shape[1])[None, :] < ng[:, None]
+        tot = tot + jnp.sum(
+            jnp.where(mask[:, :, None], pcm.astype(jnp.int32), 0),
+            dtype=jnp.int32)
+    return tot
 
 
 def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:
@@ -454,9 +476,16 @@ class _WireBufs:
         self.pay8 = np.empty((ncols_cap, rows), dtype=np.int8)
         self.pay16 = np.empty((ncols_cap, rows), dtype=np.int16)
         self.fut = None  # in-flight dispatch still reading these buffers
+        self.dev = None  # the dispatch's device arrays (transfer tracking)
 
     def free(self) -> bool:
-        return self.fut is None or self.fut.done()
+        if self.fut is not None and not self.fut.done():
+            return False
+        # fut.done() only means the dispatch was SUBMITTED; on PJRT the
+        # async host→device copy may still be reading these numpy buffers
+        # (ImmutableUntilTransferCompletes), so reuse also waits for the
+        # transfers themselves (is_ready is non-blocking)
+        return self.dev is None or all(d.is_ready() for d in self.dev)
 
     def reset(self) -> None:
         # metadata must be zero (class codes drive the device cumsum
@@ -465,6 +494,7 @@ class _WireBufs:
         self.pwr[:] = 0
         self.vals[:] = 0
         self.fut = None
+        self.dev = None
 
 
 def _acquire_wire_bufs(b: int, nb: int, level: int, rows: int) -> _WireBufs:
@@ -528,7 +558,7 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
 
 
 def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
-                        backend: str = "jax") -> _BucketOut:
+                        backend: str = "jax", wirebufs=None) -> _BucketOut:
     """Device half: transfer wire arrays and dispatch fused unpack+synth.
 
     One batched device_put for all six arrays: transfer submission is pure
@@ -538,6 +568,8 @@ def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
     from ..ops.synth_jax import synth_pcm_cols
 
     dev = jax.device_put(tuple(arrays))
+    if wirebufs is not None:
+        wirebufs.dev = dev  # pool reuse waits for these transfers
     pcm, _ = synth_pcm_cols(
         *dev, level=level, rows=rows, batch=len(chunk), nb=nb,
         backend=backend,
@@ -596,7 +628,15 @@ def decode_corpus_device(
     # scan time, so ingest RSS is O(chunk), not O(corpus) (BASELINE cfg 5)
     buckets: dict[tuple[int, int, int], list[_FileEntry]] = {}
     for i, src in enumerate(sources):
-        head, nbytes = _peek_source(src)
+        try:
+            head, nbytes = _peek_source(src)
+        except OSError:
+            # per-file isolation covers IO too: an unreadable path yields
+            # a FileResult (the reference CLI likewise reports and moves
+            # on, acmtool.c:241-243), never kills the batch
+            out._add_failed(FileResult(index=i, info=None, pcm=None,
+                                       status=int(AcmError.ERR_OPEN)))
+            continue
         header = parse_header(BitReader(head))
         if header is None:
             out._add_failed(FileResult(index=i, info=None, pcm=None,
@@ -681,7 +721,7 @@ def decode_corpus_device(
                     out.summary.scan_s += time.perf_counter() - t0
                     fut = submitter.submit(
                         _dispatch_cols_wire, arrays, chunk, level, rows, nb,
-                        eff,
+                        eff, w,
                     )
                     w.fut = fut
                     pending.append(fut)
@@ -830,17 +870,10 @@ def _dispatch_cols_wire_sharded(mesh, groups, chunk, level: int, rows: int,
         jax.device_put(pay8, sh_b), jax.device_put(pay16, sh_b),
         jax.device_put(vals, sh_b), jax.device_put(wrap0, sh_b),
     )
-    # entries live group-major with per-group padding; record each entry's
-    # row so to_results() indexes the padded sharded batch correctly
-    # (no gather — pcm stays sharded/device-resident)
-    entries: list[_FileEntry] = []
-    slots: list[int] = []
-    for s, (g, _) in enumerate(groups):
-        for j, e in enumerate(g):
-            slots.append(s * b_shard + j)
-            entries.append(e)
-    return _BucketOut(level=level, rows=rows, entries=entries, pcm=pcm,
-                      slots=slots)
+    # entries in group-major order; padding rows only ever trail the
+    # entries (groups are prefix-full), so entry j is pcm row j
+    entries = [e for g, _ in groups for e in g]
+    return _BucketOut(level=level, rows=rows, entries=entries, pcm=pcm)
 
 
 def decode_stream_device(
@@ -864,7 +897,10 @@ def decode_stream_device(
     """
     from ..ops.synth_jax import synth_pcm
 
-    data = _read_source(source)
+    try:
+        data = _read_source(source)
+    except OSError as exc:
+        raise AcmException(AcmError.ERR_OPEN) from exc
     header = parse_header(BitReader(data))
     if header is None:
         raise AcmException(AcmError.ERR_NOT_ACM)
@@ -879,17 +915,32 @@ def decode_stream_device(
     e.events = scan.events
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     nbp = max(_round_up(max(scan.n_blocks, 1), n_shards), n_shards)
-    k = np.zeros((nbp,) + scan.k.shape[1:], dtype=np.int16)
-    vals = np.zeros(nbp, dtype=np.int32)
-    k[: scan.n_blocks] = scan.k
-    vals[: scan.n_blocks] = scan.val.astype(np.int32)
-    wrap0 = jnp.zeros(max(header.wrapbuf_len, 1), dtype=jnp.int32)
-    if mesh is not None:
-        k = jax.device_put(k, NamedSharding(mesh, P(axis, None, None)))
-        vals = jax.device_put(vals, NamedSharding(mesh, P(axis)))
-        wrap0 = jax.device_put(wrap0, NamedSharding(mesh, P()))
-    pcm, _ = synth_pcm(jnp.asarray(k), jnp.asarray(vals), wrap0,
-                       level=header.level, rows=header.rows)
+    if scan.n_exceptions:
+        # stale-amp-table stream (hostile): k*val cannot reproduce the
+        # reference's stale reads — decode exactly on the host (same
+        # fallback every sibling path takes) and place the result
+        _host_decode_fallback(e, data)
+        bl = header.block_len
+        full = np.zeros(nbp * bl, dtype=np.int16)
+        n = min(len(e.host_pcm), nbp * bl)
+        full[:n] = e.host_pcm[:n]
+        pcm = full.reshape(nbp, bl)
+        if mesh is not None:
+            pcm = jax.device_put(pcm, NamedSharding(mesh, P(axis, None)))
+        else:
+            pcm = jnp.asarray(pcm)
+    else:
+        k = np.zeros((nbp,) + scan.k.shape[1:], dtype=np.int16)
+        vals = np.zeros(nbp, dtype=np.int32)
+        k[: scan.n_blocks] = scan.k
+        vals[: scan.n_blocks] = scan.val.astype(np.int32)
+        wrap0 = jnp.zeros(max(header.wrapbuf_len, 1), dtype=jnp.int32)
+        if mesh is not None:
+            k = jax.device_put(k, NamedSharding(mesh, P(axis, None, None)))
+            vals = jax.device_put(vals, NamedSharding(mesh, P(axis)))
+            wrap0 = jax.device_put(wrap0, NamedSharding(mesh, P()))
+        pcm, _ = synth_pcm(jnp.asarray(k), jnp.asarray(vals), wrap0,
+                           level=header.level, rows=header.rows)
     meta = _finalize(e, np.zeros(0, np.int16), header.block_len)
     meta.pcm = None
     return pcm, meta
@@ -914,7 +965,12 @@ def decode_corpus_host(
 
     results: list[FileResult] = []
     for i, src in enumerate(sources):
-        data = _read_source(src)
+        try:
+            data = _read_source(src)
+        except OSError:
+            results.append(FileResult(index=i, info=None, pcm=None,
+                                      status=int(AcmError.ERR_OPEN)))
+            continue
         header = parse_header(BitReader(data))
         if header is None:
             results.append(FileResult(index=i, info=None, pcm=None,
@@ -952,14 +1008,12 @@ def decode_corpus(
     or "host" to require the native path. A `mesh` implies device decode.
     """
     if config is not None:
-        # config wins over the keyword defaults, exactly as in
-        # decode_corpus_device — the host fast path must see the same
-        # force_chans a device run would
+        # a config wins over the keyword arguments entirely, exactly as in
+        # decode_corpus_device — two entry points, one precedence rule
         force_chans = config.force_chans
         chunk_files = config.chunk_files
         pack = config.pack
-        if config.backend != "auto":
-            backend = config.backend
+        backend = config.backend
     if backend in ("auto", "host") and mesh is None:
         from ..scan import native as _native
 

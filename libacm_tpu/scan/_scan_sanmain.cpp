@@ -28,7 +28,8 @@ int64_t acm_scan_corpus_into(const uint8_t*, int64_t, int64_t, int32_t,
 int64_t acm_decode_host(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
                         int64_t, int64_t, int16_t*, uint32_t*, int16_t*,
                         int64_t*, int16_t*, int16_t*, uint32_t*, uint32_t*,
-                        int64_t*, int32_t, uint32_t*, int64_t*);
+                        int64_t*, int32_t, uint32_t*, int64_t*, uint8_t*,
+                        uint16_t*);
 }
 
 int main(int argc, char** argv) {
@@ -78,16 +79,20 @@ int main(int argc, char** argv) {
   std::vector<uint32_t> wrap(2 * cols), xb(rows * cols + cols), yb(rows * cols + cols);
   std::vector<uint32_t> tblv(17);
   std::vector<int64_t> tblc(17);
+  std::vector<uint8_t> evp(maxev);
+  std::vector<uint16_t> evv(maxev);
   acm_decode_host(data.data(), n, skip, level, rows, maxb, maxev, pcm.data(),
                   wrap.data(), ev.data(), tell.data(), col.data(),
                   kbuf.data(), xb.data(), yb.data(), meta.data(),
-                  /*final=*/1, tblv.data(), tblc.data());
+                  /*final=*/1, tblv.data(), tblc.data(), evp.data(),
+                  evv.data());
   // windowed mode: non-final prefix (exercises the NEED_MORE_DATA path)
   if (n > 4) {
     acm_decode_host(data.data(), n / 2, skip, level, rows, maxb, maxev,
                     pcm.data(), wrap.data(), ev.data(), tell.data(),
                     col.data(), kbuf.data(), xb.data(), yb.data(),
-                    meta.data(), /*final=*/0, tblv.data(), tblc.data());
+                    meta.data(), /*final=*/0, tblv.data(), tblc.data(),
+                    evp.data(), evv.data());
   }
   std::printf("ok %lld blocks\n", static_cast<long long>(meta[0]));
   return 0;

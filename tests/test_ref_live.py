@@ -194,3 +194,49 @@ def test_seek_amp_table_multi_seek_live(ref_seekread, tmp_path):
         chunks.append(s.read_loop(10**9))
         out[mode] = b"".join(chunks)
     assert out["full"] == out["windowed"]
+
+
+def test_seek_readahead_table_regression(ref_seekread, tmp_path):
+    """Fuzz-found (seed 203 round 5509): a window that decodes AHEAD of
+    the reads must not let those attempts advance the persistent amp
+    table — at seek time the reference's table reflects only consumed
+    attempts. wb>=3 with a short pre-read reproduced the divergence."""
+    import io
+    import pathlib
+
+    from libacm_tpu.stream import AcmStream
+
+    data = (pathlib.Path(__file__).parent / "fixtures"
+            / "seek_readahead_stale.acm").read_bytes()
+    src = tmp_path / "s.acm"
+    src.write_bytes(data)
+    from libacm_tpu.format import AcmException
+
+    for pre, tgt in ((64, 0), (64, 1), (128, 0)):
+        want = subprocess.run([ref_seekread, str(src), str(pre), str(tgt)],
+                              capture_output=True).stdout
+        for wb in (1, 2, 3, 4):
+            s = AcmStream(io.BytesIO(data), window_blocks=wb)
+            left = pre
+            while left > 0:
+                try:
+                    b = s.read_loop(min(1 << 16, left))
+                except AcmException:
+                    break
+                if not b:
+                    break
+                left -= len(b)
+            s.seek_pcm(tgt)
+            # mirror the harness' 64 KiB loop: it keeps reading past
+            # error events (one read_loop call would stop at the first,
+            # partial-data-wins), and this stream has one
+            got = bytearray()
+            while True:
+                try:
+                    b = s.read_loop(1 << 16)
+                except AcmException:
+                    break
+                if not b:
+                    break
+                got += b
+            assert bytes(got) == want, (pre, tgt, wb)

@@ -74,6 +74,35 @@ def iter_frames(
                 break
 
 
+def torch_frame_dataset(sources, frame_samples: int, **kw):
+    """`torch.utils.data.IterableDataset` of (file_index, int16 frame).
+
+    A thin adapter over `iter_frames` for torch-based training loops (the
+    reference's player plugins fed audio players; the modern consumer is
+    a data pipeline). Imports torch lazily; files are sharded across
+    DataLoader workers, so `num_workers > 1` does not duplicate frames —
+    yielded indices always refer to the caller's manifest.
+
+    >>> ds = torch_frame_dataset(paths, frame_samples=4096)
+    >>> loader = torch.utils.data.DataLoader(ds, batch_size=32)
+    """
+    import torch
+    import torch.utils.data as tud
+
+    srcs_all = list(sources)
+
+    class _Dataset(tud.IterableDataset):
+        def __iter__(self):
+            info = tud.get_worker_info()
+            lo, stride = (0, 1) if info is None else (info.id,
+                                                      info.num_workers)
+            shard = srcs_all[lo::stride]  # srcs_all[lo + i*stride]
+            for i, frame in iter_frames(shard, frame_samples, **kw):
+                yield lo + i * stride, torch.from_numpy(frame)
+
+    return _Dataset()
+
+
 def decode_to_wav_dir(
     sources: Sequence[str | os.PathLike],
     out_dir: str | os.PathLike,

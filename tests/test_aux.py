@@ -106,3 +106,31 @@ def test_profiling_annotation_noop():
     with maybe_trace_from_env():
         with annotate("scan"):
             pass
+
+
+def test_torch_frame_dataset(tmp_path):
+    """torch DataLoader adapter: frames match iter_frames, indices refer
+    to the caller's manifest, and worker sharding covers all files."""
+    torch = pytest.importorskip("torch")
+    from torch.utils.data import DataLoader
+
+    from libacm_tpu.ingest import iter_frames, torch_frame_dataset
+
+    rng = np.random.default_rng(21)
+    files = []
+    for i in range(5):
+        f = tmp_path / f"f{i}.acm"
+        f.write_bytes(testing.speech_acm_bytes(rng, level=3, rows=8,
+                                               n_blocks=2 + i % 3))
+        files.append(str(f))
+    want = [(i, fr) for i, fr in iter_frames(files, 512)]
+    ds = torch_frame_dataset(files, 512)
+    got = [(int(i), fr.numpy()) for i, fr in ds]
+    assert len(got) == len(want)
+    for (wi, wf), (gi, gf) in zip(want, got):
+        assert wi == gi
+        np.testing.assert_array_equal(wf, gf)
+    # through a DataLoader with batching
+    loader = DataLoader(ds, batch_size=4)
+    n = sum(len(b[0]) for b in loader)
+    assert n == len(want)

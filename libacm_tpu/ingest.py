@@ -83,6 +83,13 @@ def torch_frame_dataset(sources, frame_samples: int, **kw):
     DataLoader workers, so `num_workers > 1` does not duplicate frames —
     yielded indices always refer to the caller's manifest.
 
+    Worker processes decode through the pure-host native pipeline: a
+    forked child must not initialize JAX (the parent may already own the
+    accelerator), so with `num_workers > 0` the native scanner is
+    required — workers raise a clear error when it is unavailable rather
+    than fork-initializing a device backend. Pass an explicit `config`
+    to override (at your own risk).
+
     >>> ds = torch_frame_dataset(paths, frame_samples=4096)
     >>> loader = torch.utils.data.DataLoader(ds, batch_size=32)
     """
@@ -96,8 +103,18 @@ def torch_frame_dataset(sources, frame_samples: int, **kw):
             info = tud.get_worker_info()
             lo, stride = (0, 1) if info is None else (info.id,
                                                       info.num_workers)
+            wkw = kw
+            if info is not None and "config" not in kw:
+                from .scan import native
+
+                if not native.available():
+                    raise RuntimeError(
+                        "torch_frame_dataset with num_workers > 0 needs "
+                        "the native scanner (forked workers must not "
+                        "initialize JAX); pass config= to override")
+                wkw = {**kw, "config": CorpusConfig(backend="host")}
             shard = srcs_all[lo::stride]  # srcs_all[lo + i*stride]
-            for i, frame in iter_frames(shard, frame_samples, **kw):
+            for i, frame in iter_frames(shard, frame_samples, **wkw):
                 yield lo + i * stride, torch.from_numpy(frame)
 
     return _Dataset()

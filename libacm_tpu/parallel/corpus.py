@@ -218,6 +218,10 @@ class _FileEntry:
     nbytes: int
     # filled at scan time:
     n_good: int = 0  # committed (successful) blocks, errors skipped over
+    #: file vanished between the header peek and the chunk scan: the
+    #: result becomes FileResult(pcm=None, status=ERR_OPEN), same as a
+    #: header-pass open failure
+    open_failed: bool = False
     first_err: int = 0
     #: per-attempt outcome list (0 = block, negative = error) — drives the
     #: CLI-equivalent stop position (see cli_stop_words)
@@ -227,11 +231,15 @@ class _FileEntry:
     host_pcm: np.ndarray | None = None
 
     def load_data(self) -> bytes:
+        """File bytes; a vanished file marks the entry failed and decodes
+        as zero blocks (the batch stays alive, the result is ERR_OPEN)."""
         try:
             return _read_source(self.src)
         except OSError:
-            # file vanished between the header peek and the chunk scan:
-            # decode as empty (UNEXPECTED_EOF status), keep the batch alive
+            self.open_failed = True
+            self.n_good = 0
+            self.first_err = int(AcmError.ERR_OPEN)
+            self.events = np.zeros(0, dtype=np.int16)
             return b""
 
 
@@ -367,6 +375,9 @@ def _sum_all(*args):
 
 
 def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult:
+    if e.open_failed:
+        return FileResult(index=e.index, info=None, pcm=None,
+                          status=int(AcmError.ERR_OPEN))
     h = e.header
     if e.host_pcm is not None:
         pcm_flat = e.host_pcm
@@ -542,6 +553,8 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     o4 = o8 = o16 = 0
     for j, e in enumerate(chunk):
         data = e.load_data()  # released at loop end: RSS stays O(file)
+        if e.open_failed:
+            continue  # slot stays zeroed; _finalize reports ERR_OPEN
         ng, err, o4, o8, o16, oor, events = _native.scan_corpus_into(
             data, e.header, w.cls[j], w.pwr[j], w.vals[j],
             w.pay4, w.pay8, w.pay16, o4, o8, o16, bufs,
@@ -740,12 +753,15 @@ def decode_corpus_device(
     for b in out._buckets:
         block_len = b.rows << b.level
         for e in b.entries:
+            if e.open_failed:
+                s.n_failed += 1
+                continue
             s.samples += e.n_good * block_len
             if e.first_err in (0, ACM_EXPECTED_EOF):
                 s.n_ok += 1
             else:
                 s.n_partial += 1
-    s.n_failed = len(out._failed)
+    s.n_failed += len(out._failed)
     s.wall_s = time.perf_counter() - t_start
     logger.debug("corpus decode: %s", s.as_dict())
     return out
@@ -761,6 +777,8 @@ def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
     vals = np.zeros((b, nb), dtype=np.int32)
     for j, e in enumerate(chunk):
         data = e.load_data()
+        if e.open_failed:
+            continue  # row stays zero; _finalize reports ERR_OPEN
         scan = scan_bytes(data)
         e.n_good = scan.n_blocks
         _, e.first_err = _n_good(scan.events)

@@ -74,7 +74,8 @@ def _build() -> pathlib.Path | None:
                     ["g++", "-shared", "-fprofile-generate", "-o", prof_so,
                      obj],
                     check=True, capture_output=True)
-                if _pgo_train(prof_so):
+                if _pgo_train(prof_so, tag,
+                              pathlib.Path(work) / "scan_prof.gcda"):
                     # same -o so -fprofile-use finds scan_prof.gcda
                     subprocess.run(
                         cc + ["-fprofile-use", "-fprofile-correction",
@@ -92,50 +93,59 @@ def _build() -> pathlib.Path | None:
         return None
 
 
-def _pgo_train(prof_so: str) -> bool:
-    """Drive the instrumented scanner over representative streams and
-    flush its counters. Covers the fused host decode, the packed corpus
-    scan, and the dense scan (three separate template instantiations).
-    Returns False (→ plain build) if anything is off."""
-    global _lib, _tried
-    try:
-        lib = _bind(ctypes.CDLL(prof_so))
-    except OSError:
-        return False
-    saved = (_lib, _tried)
-    _lib, _tried = lib, True
-    try:
-        from .. import testing as _testing
+_PGO_TRAIN_SCRIPT = """
+import numpy as np
+from libacm_tpu.scan import native as N
+from libacm_tpu import testing as T
+rng = np.random.default_rng(0)
+# sparse 22 kHz speech, dense 44.1 kHz stereo music, mid/low geometries
+# -- the content classes the real corpora hit; decode_host +
+# scan_bytes_packed + scan_bytes cover all three emitter instantiations
+streams = [
+    T.speech_acm_bytes(rng, level=7, rows=16, n_blocks=30),
+    T.speech_acm_bytes(rng, level=7, rows=16, n_blocks=30, channels=2,
+                       base_pwr=8, decay_cols=24.0),
+    T.speech_acm_bytes(rng, level=4, rows=40, n_blocks=80),
+    T.speech_acm_bytes(rng, level=0, rows=512, n_blocks=20),
+]
+assert N.available()
+for d in streams:
+    for _ in range(4):
+        N.decode_host(d)
+        N.scan_bytes_packed(d)
+        N.scan_bytes(d)
+"""
 
-        rng = np.random.default_rng(0)
-        streams = [
-            # sparse 22 kHz speech, dense 44.1 kHz stereo music, mid/low
-            # geometries — the content classes the real corpora hit
-            _testing.speech_acm_bytes(rng, level=7, rows=16, n_blocks=30),
-            _testing.speech_acm_bytes(rng, level=7, rows=16, n_blocks=30,
-                                      channels=2, base_pwr=8,
-                                      decay_cols=24.0),
-            _testing.speech_acm_bytes(rng, level=4, rows=40, n_blocks=80),
-            _testing.speech_acm_bytes(rng, level=0, rows=512, n_blocks=20),
-        ]
-        for data in streams:
-            for _ in range(4):
-                decode_host(data)
-                scan_bytes_packed(data)
-                scan_bytes(data)
-    except Exception:
-        return False
-    finally:
-        _lib, _tried = saved
-    # libgcov flushes the .gcda on library unload (its __gcov_dump symbol
-    # is not exported); the lib handle is dangling after this
+
+def _pgo_train(prof_so: str, tag: str, gcda: pathlib.Path) -> bool:
+    """Run the training workload in a SUBPROCESS against the instrumented
+    library, staged as the expected cache entry of a private cache dir:
+    this process's module globals never point at the instrumented lib
+    (concurrent _load callers are unaffected), and the gcov counters
+    flush on normal child exit — no dlclose of a possibly-shared handle.
+    The .gcda path is baked into the object at compile time, so the child
+    writes it into our tempdir. Returns True once counters exist."""
+    import shutil
+    import sys
+
+    cache = pathlib.Path(prof_so).parent / "traincache"
+    cache.mkdir()
+    shutil.copy2(prof_so, cache / f"_scan-{tag}.so")
+    env = dict(
+        os.environ,
+        LIBACM_TPU_CACHE=str(cache),
+        LIBACM_TPU_PLATFORM="cpu",
+        PYTHONPATH=os.pathsep.join(
+            [str(_HERE.parents[1])]
+            + ([os.environ["PYTHONPATH"]] if "PYTHONPATH" in os.environ
+               else [])),
+    )
     try:
-        dl = ctypes.CDLL(None)
-        dl.dlclose.argtypes = [ctypes.c_void_p]
-        dl.dlclose(ctypes.c_void_p(lib._handle))
-    except (OSError, AttributeError):
+        r = subprocess.run([sys.executable, "-c", _PGO_TRAIN_SCRIPT],
+                           env=env, capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
         return False
-    return True
+    return r.returncode == 0 and gcda.exists()
 
 
 def _load():

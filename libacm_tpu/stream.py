@@ -23,6 +23,7 @@ next read continues from the bit position where the failed attempt stopped
 
 from __future__ import annotations
 
+import array
 import dataclasses
 import json
 import os
@@ -113,9 +114,15 @@ class _Window:
         self.ev_bits: list[int] = []  # absolute consumed-bit per event
         #: per-attempt amp header fields, append-only ACROSS passes (the
         #: bit content is identical every pass, so attempt i's (pwr, val)
-        #: never changes; reset() replays these to rebuild the table)
-        self.att_pwr: list[int] = []
-        self.att_val: list[int] = []
+        #: never changes; reset() folds these to rebuild the table).
+        #: Compact typed arrays: 3 bytes/attempt, the one window-mode
+        #: structure that grows with stream length.
+        self.att_pwr = array.array("B")
+        self.att_val = array.array("H")
+        #: amp table folded over completed passes (reset() folds one more
+        #: pass each backward seek — O(attempts/seek), not O(history))
+        self._folded = _native.AmpTable()
+        self._folded_passes = 0
         self.blocks: dict[int, np.ndarray] = {}  # committed idx -> words
         self._floor = 0
         self.committed = 0
@@ -207,17 +214,19 @@ class _Window:
         self.wrap[:] = 0
         # The reference's amp table persists across seeks (util.c:230-241
         # zeroes only wrapbuf) — but it reflects only the attempts its
-        # reads CONSUMED, while this window may have decoded ahead. Rebuild
-        # the table from the stream's pass history over the recorded
-        # per-attempt headers (live-diffed vs the compiled reference
-        # library in tests/test_ref_live.py and the fuzzer's seek rounds).
-        t = self._native.AmpTable()
-        for upto in self.s._pass_history:
+        # reads CONSUMED, while this window may have decoded ahead. Fold
+        # each newly completed pass's consumed attempts into the running
+        # table (live-diffed vs the compiled reference library in
+        # tests/test_ref_live.py and the fuzzer's seek rounds).
+        hist = self.s._pass_history
+        for upto in hist[self._folded_passes:]:
             for i in range(min(upto, len(self.att_pwr))):
                 p = min(self.att_pwr[i], 16)
-                t.val[: p + 1] = self.att_val[i]
-                t.cov[: p + 1] = 1
-        self.table = t
+                self._folded.val[: p + 1] = self.att_val[i]
+                self._folded.cov[: p + 1] = 1
+        self._folded_passes = len(hist)
+        self.table = self._native.AmpTable(val=self._folded.val.copy(),
+                                           cov=self._folded.cov.copy())
         self.events = []
         self.ev_bits = []
         self.blocks = {}
@@ -597,7 +606,11 @@ class AcmStream:
         because the decode is deterministic; trailing error events
         consumed at the same word position re-materialize lazily."""
         w = self._win
-        if st.stream_pos < self._stream_pos:
+        # a forward replay may continue the live window ONLY if this
+        # stream is still on its first pass: after any backward seek the
+        # window's amp table and cached blocks carry dirty-table (pass>1)
+        # state, which a snapshot restore must not serve
+        if st.stream_pos < self._stream_pos or self._pass_history:
             if not self._can_seek:
                 raise AcmException(AcmError.ERR_NOT_SEEKABLE)
             self._stream_pos = 0
@@ -611,8 +624,11 @@ class AcmStream:
             # snapshot-replay reproduces FIRST-pass decode: unlike a user
             # seek (which inherits the dirty amp table, reference
             # semantics), a restored snapshot replays the stream from
-            # scratch — fresh table, same as resuming on a fresh stream
+            # scratch — fresh table and fold state, same as resuming on a
+            # fresh stream (set_state clears _pass_history right after)
             w.table = w._native.AmpTable()
+            w._folded = w._native.AmpTable()
+            w._folded_passes = 0
         while self._stream_pos < st.stream_pos:
             step = min(2048, st.stream_pos - self._stream_pos)
             res = self._read_core(step * 2, True, 0, 2, 1)
@@ -684,12 +700,16 @@ class AcmStream:
         from .scan import oracle as _oracle
         from .ops.synth_jax import decode_scan_result
 
-        if self._att_scan is None:
-            # per-attempt (pwr, val) incl. failed attempts — only the
-            # oracle records them
-            self._att_scan = _oracle.scan_bytes(self._data,
-                                                self._header.n_blocks)
-        table = self._att_scan.table_after(self._pass_history)
+        scan = self._ensure_scan()
+        if scan.att_pwr is None:
+            # shouldn't happen — exception streams always come from the
+            # oracle (native scan_bytes falls back on oor), which records
+            # per-attempt (pwr, val); re-scan defensively if not
+            if self._att_scan is None:
+                self._att_scan = _oracle.scan_bytes(self._data,
+                                                    self._header.n_blocks)
+            scan = self._att_scan
+        table = scan.table_after(self._pass_history)
         bits = BitReader(self._data[self._header.data_start:])
         scan2 = _oracle.scan_blocks(bits, self._header,
                                     self._header.n_blocks, init_table=table)

@@ -187,3 +187,40 @@ def test_ingest_indices_survive_batching(tmp_path):
         np.testing.assert_array_equal(r.pcm, s.pcm)
     idxs = {i for i, _ in iter_frames(files, 256, batch_files=2)}
     assert idxs == set(range(7))
+
+
+def test_corpus_file_vanishes_mid_scan(tmp_path):
+    """A file that disappears between the header peek and the chunk scan
+    yields FileResult(status=ERR_OPEN) on every backend path — it must
+    neither kill the batch (dense path used to raise) nor read as a
+    clean empty success (wire path used to report status=0)."""
+    import os
+
+    from libacm_tpu.format import AcmError
+
+    rng = np.random.default_rng(13)
+    good = testing.speech_acm_bytes(rng, level=3, rows=8, n_blocks=3)
+    gf = tmp_path / "good.acm"
+    gf.write_bytes(good)
+    vf = tmp_path / "vanish.acm"
+
+    class VanishingPath(os.PathLike):
+        """Resolves to a real file for the header peek, then vanishes."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def __fspath__(self):
+            self.calls += 1
+            return str(vf if self.calls <= 1 else tmp_path / "gone.acm")
+
+    from libacm_tpu.parallel import decode_corpus_device
+
+    for pack in (True, False):
+        vf.write_bytes(good)
+        res = decode_corpus_device([str(gf), VanishingPath(), str(gf)],
+                                   pack=pack).to_results()
+        assert res[1].status == int(AcmError.ERR_OPEN), pack
+        assert res[1].pcm is None
+        assert res[0].status == 0 and res[2].status == 0
+        np.testing.assert_array_equal(res[0].pcm, res[2].pcm)

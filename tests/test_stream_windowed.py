@@ -375,3 +375,36 @@ def test_windowed_state_resume_pipe_forward_only():
     s3.read_loop(bl2)
     with pytest.raises(AcmException):
         s3.set_state(st_early)
+
+
+def test_windowed_resume_after_seek_is_first_pass():
+    """A forward set_state on a stream that seeked backward must not
+    serve the window's dirty-table state: any pass history forces a
+    reset + first-pass replay, matching a fresh-stream resume (fuzz
+    misses this: its resume path always builds a fresh stream)."""
+    from libacm_tpu import testing as T
+
+    rng = np.random.default_rng(67)
+    rows, cols = 8, 8
+    k0 = rng.integers(-8, 8, (rows, cols)).astype(np.int32)
+    k1 = rng.integers(-100, 100, (rows, cols)).astype(np.int32)
+    blocks = [T.BlockData(pwr=0, val=5, k=k0, fillers=[4] * cols),
+              T.BlockData(pwr=10, val=777, k=k1, fillers=[8] * cols),
+              T.BlockData(pwr=0, val=9, k=k0, fillers=[4] * cols)]
+    data = T.encode_acm(blocks, 3 * rows * cols, level=3, rows=rows)
+
+    s = AcmStream(io.BytesIO(data), window_blocks=3)
+    s.read_loop(32)
+    st = s.get_state()
+    _drain(s, 4096)
+    s.seek_pcm(0)  # dirties the window's amp table (reference semantics)
+    s.set_state(st)
+    tail_same = _drain(s, 4096)
+    s2 = AcmStream(io.BytesIO(data), window_blocks=3)
+    s2.set_state(st)
+    tail_fresh = _drain(s2, 4096)
+    assert tail_same == tail_fresh
+    # and equals the true first-pass tail
+    s3 = AcmStream(io.BytesIO(data), window_blocks=3)
+    s3.read_loop(32)
+    assert _drain(s3, 4096) == tail_fresh

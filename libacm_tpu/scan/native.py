@@ -191,7 +191,10 @@ def _bind(lib):
     fh = lib.acm_decode_host
     fh.restype = ctypes.c_int64
     fh.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64,
+        # data as a raw uint8 pointer (not c_char_p): the windowed stream
+        # passes its live bytearray zero-copy — a per-fill bytes() copy of
+        # the O(64 KiB) window would dominate small-block fills
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64,  # max_blocks, max_events
         ctypes.POINTER(ctypes.c_int16),  # pcm_out
@@ -544,8 +547,13 @@ def _decode_host_raw(
     tell = np.zeros(max_events, dtype=np.int64)
     ev_pwr = np.zeros(max_events, dtype=np.uint8)
     ev_val = np.zeros(max_events, dtype=np.uint16)
+    # zero-copy uint8 view: accepts bytes, bytearray, or memoryview (the
+    # buffer must stay unmutated for the GIL-released call — windowed
+    # streams are single-threaded per stream)
+    dview = np.frombuffer(data, dtype=np.uint8)
     rc = lib.acm_decode_host(
-        data, len(data), start_bit, hdr.level, rows, max_blocks, max_events,
+        _ptr(dview, ctypes.c_uint8), len(dview),
+        start_bit, hdr.level, rows, max_blocks, max_events,
         _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
         _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
         _ptr(s.col, ctypes.c_int16), _ptr(s.kbuf, ctypes.c_int16),
@@ -609,7 +617,7 @@ def decode_host(
 
 
 def decode_host_window(
-    buf: bytes,
+    buf: bytes | bytearray,
     level: int,
     rows: int,
     start_bit: int,

@@ -110,8 +110,6 @@ class _Window:
         self.resume = 8 * self.h.data_start  # absolute next-attempt bit
         self.wrap = np.zeros(max(self.h.wrapbuf_len, 1), dtype=np.uint32)
         self.table = _native.AmpTable()
-        self.events: list[int] = []
-        self.ev_bits: list[int] = []  # absolute consumed-bit per event
         #: per-attempt amp header fields, append-only ACROSS passes (the
         #: bit content is identical every pass, so attempt i's (pwr, val)
         #: never changes; reset() folds these to rebuild the table).
@@ -123,7 +121,13 @@ class _Window:
         #: pass each backward seek — O(attempts/seek), not O(history))
         self._folded = _native.AmpTable()
         self._folded_passes = 0
-        self.blocks: dict[int, np.ndarray] = {}  # committed idx -> words
+        self._clear_progress()
+
+    def _clear_progress(self) -> None:
+        """Decode-progress state shared by open and backward-seek reset."""
+        self.events: list[int] = []
+        self.ev_bits: list[int] = []  # absolute consumed-bit per event
+        self.blocks = {}  # committed idx -> int16 words
         self._floor = 0
         self.committed = 0
         self.terminal = False  # no further events will ever be produced
@@ -138,7 +142,7 @@ class _Window:
             self.end_bits = self.resume
             return
         hd = self._native.decode_host_window(
-            bytes(self.buf), self.h.level, self.h.rows,
+            self.buf, self.h.level, self.h.rows,  # zero-copy view
             self.resume - 8 * self.base, self.wrap, self.table,
             max_blocks=min(self.wb, self.cap - self.committed),
             final=self.src_eof, wavc_file=self.h.wavc_file,
@@ -227,13 +231,7 @@ class _Window:
         self._folded_passes = len(hist)
         self.table = self._native.AmpTable(val=self._folded.val.copy(),
                                            cov=self._folded.cov.copy())
-        self.events = []
-        self.ev_bits = []
-        self.blocks = {}
-        self._floor = 0
-        self.committed = 0
-        self.terminal = False
-        self.end_bits = None
+        self._clear_progress()
 
 
 class AcmStream:

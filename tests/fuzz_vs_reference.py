@@ -293,6 +293,14 @@ def main():
     n = 0
     kinds = {}
     while time.time() - t0 < budget:
+        if n and n % 2000 == 0:
+            # every random geometry compiles a fresh XLA program; a
+            # multi-hour single process otherwise accumulates thousands of
+            # them until the CPU JIT's code memory runs dry (observed:
+            # LLVM "Cannot allocate memory" + segfault after ~35k rounds)
+            import jax
+
+            jax.clear_caches()
         state = rng.bit_generator.state
         try:
             kind = one_round(rng)

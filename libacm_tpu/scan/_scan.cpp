@@ -621,6 +621,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
   meta[4] = b.loaded_bytes();
 
   int64_t n_blocks = 0, n_events = 0, status = 0, oor_flag = 0;
+  int64_t terminal_att = 0;
   int64_t resume_bit = skip_bits;
   while (n_blocks < max_blocks) {
     // max(): when skip_bits lies beyond a short window, seek_to_bit
@@ -687,6 +688,16 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
     if (clean_eof) {
       em.rollback_block();
       status = final_data ? EXPECTED_EOF : NEED_MORE_DATA;
+      if (final_data) {
+        // the terminal attempt read pwr/val before EOF at a column code,
+        // so the reference's amp table WAS updated by it (decode.c:
+        // 591-599 runs before fill_block) even though no event exists.
+        // Report it so seek-path table reconstruction can fold it in;
+        // meta[11] flags its presence at index n_events.
+        terminal_att = 1;
+        if (ev_pwr_out) ev_pwr_out[n_events] = static_cast<uint8_t>(pwr);
+        if (ev_val_out) ev_val_out[n_events] = static_cast<uint16_t>(val);
+      }
       break;
     }
     if (b.fail) {
@@ -724,6 +735,7 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
   // resume point for windowed decode: where the next attempt starts
   // (== the rolled-back attempt's start bit after NEED_MORE_DATA)
   meta[10] = status == NEED_MORE_DATA ? resume_bit : b.consumed_bits();
+  meta[11] = terminal_att;
   return 0;
 }
 

@@ -485,6 +485,11 @@ class HostDecode:
     #: reads consumed, not a window's decode-ahead)
     ev_pwr: np.ndarray | None = None
     ev_val: np.ndarray | None = None
+    #: the TERMINAL attempt's (pwr, val), when it read them before hitting
+    #: clean EOF at a column code — no event exists, but the reference's
+    #: amp table was updated by it (decode.c:591-599 runs before
+    #: fill_block); None when the stream ended at the header reads
+    term_att: tuple[int, int] | None = None
 
 
 class HostDecodeScratch:
@@ -582,6 +587,8 @@ def _decode_host_raw(
         ev_bits=tell[:n_events].copy(),
         ev_pwr=ev_pwr[:n_events].copy(),
         ev_val=ev_val[:n_events].copy(),
+        term_att=((int(ev_pwr[n_events]), int(ev_val[n_events]))
+                  if m[11] else None),
     )
 
 

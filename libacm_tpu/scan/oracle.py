@@ -370,12 +370,15 @@ class ScanResult:
         `history` lists how many attempts each decode pass consumed before
         a backward seek restarted it at attempt 0 (the reference's
         `ampbuf` persists across seeks — util.c:214-253 zeroes only
-        wrapbuf). Returns (last_val int64[17], covered bool[17]) suitable
-        as scan_blocks(init_table=...)."""
+        wrapbuf). A pass that drained to EOF counts the TERMINAL attempt
+        too (att may be one longer than events: an attempt that read
+        pwr/val — updating the table — before clean EOF at a column
+        code). Returns (last_val int64[17], covered bool[17]) suitable as
+        scan_blocks(init_table=...)."""
         last_val = np.zeros(17, dtype=np.int64)
         covered = np.zeros(17, dtype=bool)
         for upto in history:
-            for i in range(min(upto, len(self.events))):
+            for i in range(min(upto, len(self.att_pwr))):
                 pwr = int(self.att_pwr[i])
                 last_val[: pwr + 1] = int(self.att_val[i])
                 covered[: pwr + 1] = True

@@ -157,6 +157,12 @@ class _Window:
         for j in range(len(self.att_pwr) - prev, len(hd.events)):
             self.att_pwr.append(int(hd.ev_pwr[j]))
             self.att_val.append(int(hd.ev_val[j]))
+        if hd.term_att is not None and len(self.att_pwr) == len(self.events):
+            # terminal attempt: read pwr/val (updating the amp table) but
+            # hit clean EOF before producing an event — record it at
+            # attempt index len(events) so a post-drain seek folds it
+            self.att_pwr.append(hd.term_att[0])
+            self.att_val.append(hd.term_att[1])
         self.resume = 8 * self.base + hd.end_bit
         drop = min((self.resume >> 3) - self.base, len(self.buf))
         del self.buf[: drop]
@@ -661,7 +667,11 @@ class AcmStream:
             # full reset incl. wrapbuf zeroing — our wrap state is implicit
             # in the cached per-block synthesis, so only the cursor resets
             # (windowed mode really does reset + re-decode, like the C).
-            self._pass_history.append(self._event_idx)
+            # A pass that hit terminal EOF also consumed the TERMINAL
+            # attempt (att index len(events)) — its pwr/val updated the
+            # reference's table even though no event exists.
+            self._pass_history.append(self._event_idx
+                                      + (1 if self._end_attempted else 0))
             self._stream_pos = 0
             self._block_pos = 0
             self._block_ready = False

@@ -240,3 +240,46 @@ def test_seek_readahead_table_regression(ref_seekread, tmp_path):
                     break
                 got += b
             assert bytes(got) == want, (pre, tgt, wb)
+
+
+def test_seek_terminal_attempt_table_regression(ref_seekread, tmp_path):
+    """Fuzz-found (seed 503 round 9179): an attempt that reads pwr/val
+    and then hits clean EOF at a column code produces NO event, but the
+    reference's amp table was already regenerated from it (decode.c:
+    591-599 precedes fill_block) — draining a stale-table stream to EOF
+    and seeking back must fold that terminal attempt into the table."""
+    import io
+    import pathlib
+
+    from libacm_tpu.format import AcmException
+    from libacm_tpu.stream import AcmStream, acm_open_decoder
+
+    data = (pathlib.Path(__file__).parent / "fixtures"
+            / "seek_terminal_att_stale.acm").read_bytes()
+    src = tmp_path / "s.acm"
+    src.write_bytes(data)
+    for tgt in (0, 1, 7):
+        want = subprocess.run([ref_seekread, str(src), str(10**9), str(tgt)],
+                              capture_output=True).stdout
+        for mode in ("full", "win1", "win3"):
+            if mode == "full":
+                s = acm_open_decoder(data)
+            else:
+                s = AcmStream(io.BytesIO(data), window_blocks=int(mode[3]))
+            while True:  # drain to terminal EOF, past error events
+                try:
+                    if not s.read_loop(1 << 16):
+                        break
+                except AcmException:
+                    continue
+            s.seek_pcm(tgt)
+            got = bytearray()
+            while True:
+                try:
+                    b = s.read_loop(1 << 16)
+                except AcmException:
+                    break
+                if not b:
+                    break
+                got += b
+            assert bytes(got) == want, (mode, tgt)

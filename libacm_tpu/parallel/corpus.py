@@ -483,7 +483,10 @@ class _WireBufs:
         self.pwr = np.zeros((b, nb), dtype=np.uint8)
         self.vals = np.zeros((b, nb), dtype=np.uint16)
         self.wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
-        self.pay4 = np.empty((ncols_cap, half), dtype=np.int8)
+        from ..scan.native import pay4_slack_rows
+
+        self.pay4 = np.empty((ncols_cap + pay4_slack_rows(rows), half),
+                             dtype=np.int8)
         self.pay8 = np.empty((ncols_cap, rows), dtype=np.int8)
         self.pay16 = np.empty((ncols_cap, rows), dtype=np.int16)
         self.fut = None  # in-flight dispatch still reading these buffers

@@ -70,7 +70,8 @@ def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,
     cls = np.zeros((1, max_blocks, (cols + 3) // 4), dtype=np.uint8)
     pwr = np.zeros(max_blocks, dtype=np.uint8)
     vals = np.zeros((1, max_blocks), dtype=np.uint16)
-    pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
+    pay4 = np.zeros((ncols_cap + native.pay4_slack_rows(rows), half),
+                    dtype=np.int8)
     pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
     pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
     ng, err, o4, o8, o16, oor, _events = native.scan_corpus_into(

@@ -339,252 +339,371 @@ int decode_column(BitReader& b, int ind, int rows, int16_t* col) {
   }
 }
 
-// Fast-path column decode (corpus mode): per outer iteration one ensure()
-// prefetch, then unchecked extraction while the reservoir lasts; near the
-// stream tail it degrades to the checked get() (identical semantics).
-// Bit-for-bit the same values/failure sites as decode_column.
-int decode_column_fast(BitReader& b, int ind, int rows, int16_t* col) {
-  if (ind == 0) return 0;
-  if (ind >= 3 && ind <= 16) {  // f_linear
-    int middle = 1 << (ind - 1);
-    int i = 0;
-    while (i < rows) {
-      if (b.ensure(32)) {
-        int nfit = b.avail / ind;
-        int stop = i + nfit < rows ? i + nfit : rows;
-        for (; i < stop; i++) {
-          col[i] = static_cast<int16_t>(static_cast<int>(b.getu(ind)) - middle);
-        }
+// ---------------------------------------------------------------------------
+// Fast-path column decode, output-sink templated.
+//
+// The fast scan used to stage every column into `col_tmp` and re-walk it
+// into the emitter's destination; for the common classes (no possible
+// out-of-range index) the grammar now writes STRAIGHT into the final
+// destination — the packed wire streams (nibble/byte/int16 payloads) or
+// the fused host decoder's row-major block buffer — through a small sink
+// vocabulary. Bit consumption, values, and failure sites are identical to
+// the strict decode_column (differential-fuzzed); only where the values
+// land changes.
+//
+// Map fillers additionally decode through an 8-bit multi-symbol LUT: one
+// table lookup on the next 8 reservoir bits yields every complete symbol
+// inside them (up to 16 rows as packed nibbles) plus the bit length —
+// replacing 1-3 data-dependent branches per row (the branch mispredicts
+// were the scan's dominant cost on sparse content) with one indexed load.
+
+struct ColSink {  // staged int16 column buffer (pre-zeroed)
+  int16_t* col;
+  inline void put(int i, int v) { col[i] = static_cast<int16_t>(v); }
+};
+
+struct StridedSink {  // column c of a row-major block (pre-zeroed)
+  int16_t* base;
+  int stride;
+  inline void put(int i, int v) {
+    base[static_cast<int64_t>(i) * stride] = static_cast<int16_t>(v);
+  }
+};
+
+struct Pay8Sink {  // byte payload column (every row written: linear only)
+  int8_t* dst;
+  inline void put(int i, int v) { dst[i] = static_cast<int8_t>(v); }
+};
+
+struct Pay16Sink {
+  int16_t* dst;
+  inline void put(int i, int v) { dst[i] = static_cast<int16_t>(v); }
+};
+
+struct Nib4Sink {  // nibble-packed payload column (pre-zeroed, OR-writes)
+  uint8_t* dst;
+  inline void put(int i, int v) {
+    dst[i >> 1] |= (v & 0xF) << ((i & 1) * 4);
+  }
+  // OR up to 16 packed nibbles at nibble offset i. May touch up to 9
+  // bytes beyond dst[i>>1] — callers guarantee PAY4_SLACK writable bytes
+  // past the column (overruns land in the NEXT column's region, which is
+  // zeroed when that column begins, or in the slack tail).
+  inline void put_nibs(int i, uint64_t nibs, int /*n*/) {
+    uint8_t* p = dst + (i >> 1);
+    uint64_t lo;
+    std::memcpy(&lo, p, 8);
+    if (i & 1) {
+      lo |= nibs << 4;
+      std::memcpy(p, &lo, 8);
+      p[8] = static_cast<uint8_t>(p[8] | (nibs >> 60));
+    } else {
+      lo |= nibs;
+      std::memcpy(p, &lo, 8);
+    }
+  }
+};
+
+//: writable slack required past the last 4-bit payload column (Nib4Sink
+//: bulk writes; see above). Python-side allocators honor this.
+constexpr int PAY4_SLACK = 16;
+
+// Generic bulk-nibble fallback: unpack 4-bit two's complement and put().
+template <typename Sink>
+inline void put_nibs_generic(Sink& s, int i, uint64_t nibs, int n) {
+  for (int j = 0; j < n; j++) {
+    int v = static_cast<int>((nibs >> (4 * j)) & 0xF);
+    if (v) s.put(i + j, (v ^ 8) - 8);  // pre-zeroed dst: zeros are free
+  }
+}
+
+template <typename Sink>
+inline void sink_put_nibs(Sink& s, int i, uint64_t nibs, int n) {
+  put_nibs_generic(s, i, nibs, n);
+}
+template <>
+inline void sink_put_nibs<Nib4Sink>(Nib4Sink& s, int i, uint64_t nibs,
+                                    int n) {
+  s.put_nibs(i, nibs, n);
+}
+
+// One grammar step for the map/packed fillers (<= 7 bits). CHECKED uses
+// the strict reader (EOF-able); unchecked requires avail >= 7.
+template <bool CHECKED, typename Sink>
+inline int one_step(BitReader& b, int ind, int rows, int& i, Sink& s) {
+#define STEP_GET(var, n)                          \
+  uint32_t var;                                   \
+  if constexpr (CHECKED) {                        \
+    var = b.get(n);                               \
+    if (b.fail) return ERR_UNEXPECTED_EOF;        \
+  } else {                                        \
+    var = b.getu(n);                              \
+  }
+  switch (ind) {
+    case 17: {  // f_k13: 0 -> two zeros, 10 -> zero, 11x -> map_1bit
+      STEP_GET(h, 1);
+      if (!h) { i += 2; return 0; }
+      STEP_GET(h2, 1);
+      if (!h2) { i += 1; return 0; }
+      STEP_GET(x, 1);
+      s.put(i, MAP_1BIT[x]);
+      i += 1;
+      return 0;
+    }
+    case 18: {  // f_k12
+      STEP_GET(h, 1);
+      if (h) {
+        STEP_GET(x, 1);
+        s.put(i, MAP_1BIT[x]);
+      }
+      i += 1;
+      return 0;
+    }
+    case 19: {  // f_t15: base-3 triples in 5 bits
+      STEP_GET(v, 5);
+      if (v >= 27) return ERR_CORRUPT;
+      const int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
+                            static_cast<int16_t>((v / 3) % 3 - 1),
+                            static_cast<int16_t>(v / 9 - 1)};
+      for (int j = 0; j < 3 && i < rows; j++, i++) s.put(i, t[j]);
+      return 0;
+    }
+    case 20: {  // f_k24
+      STEP_GET(h, 1);
+      if (!h) { i += 2; return 0; }
+      STEP_GET(h2, 1);
+      if (!h2) { i += 1; return 0; }
+      STEP_GET(x, 2);
+      s.put(i, MAP_2BIT_NEAR[x]);
+      i += 1;
+      return 0;
+    }
+    case 21: {  // f_k23
+      STEP_GET(h, 1);
+      if (h) {
+        STEP_GET(x, 2);
+        s.put(i, MAP_2BIT_NEAR[x]);
+      }
+      i += 1;
+      return 0;
+    }
+    case 22: {  // f_t27: base-5 triples in 7 bits
+      STEP_GET(v, 7);
+      if (v >= 125) return ERR_CORRUPT;
+      const int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
+                            static_cast<int16_t>((v / 5) % 5 - 2),
+                            static_cast<int16_t>(v / 25 - 2)};
+      for (int j = 0; j < 3 && i < rows; j++, i++) s.put(i, t[j]);
+      return 0;
+    }
+    case 23: {  // f_k35
+      STEP_GET(h, 1);
+      if (!h) { i += 2; return 0; }
+      STEP_GET(h2, 1);
+      if (!h2) { i += 1; return 0; }
+      STEP_GET(h3, 1);
+      if (!h3) {
+        STEP_GET(x, 1);
+        s.put(i, MAP_1BIT[x]);
       } else {
-        uint32_t v = b.get(ind);
-        if (b.fail) return ERR_UNEXPECTED_EOF;
-        col[i++] = static_cast<int16_t>(static_cast<int>(v) - middle);
+        STEP_GET(x, 2);
+        s.put(i, MAP_2BIT_FAR[x]);
+      }
+      i += 1;
+      return 0;
+    }
+    case 24: {  // f_k34
+      STEP_GET(h, 1);
+      if (!h) { i += 1; return 0; }
+      STEP_GET(h2, 1);
+      if (!h2) {
+        STEP_GET(x, 1);
+        s.put(i, MAP_1BIT[x]);
+      } else {
+        STEP_GET(x, 2);
+        s.put(i, MAP_2BIT_FAR[x]);
+      }
+      i += 1;
+      return 0;
+    }
+    case 26: {  // f_k45
+      STEP_GET(h, 1);
+      if (!h) { i += 2; return 0; }
+      STEP_GET(h2, 1);
+      if (!h2) { i += 1; return 0; }
+      STEP_GET(x, 3);
+      s.put(i, MAP_3BIT[x]);
+      i += 1;
+      return 0;
+    }
+    case 27: {  // f_k44
+      STEP_GET(h, 1);
+      if (h) {
+        STEP_GET(x, 3);
+        s.put(i, MAP_3BIT[x]);
+      }
+      i += 1;
+      return 0;
+    }
+    case 29: {  // f_t37: base-11 pairs in 7 bits
+      STEP_GET(v, 7);
+      if (v >= 121) return ERR_CORRUPT;
+      const int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
+                            static_cast<int16_t>(v / 11 - 5)};
+      for (int j = 0; j < 2 && i < rows; j++, i++) s.put(i, t[j]);
+      return 0;
+    }
+    default:
+      return ERR_CORRUPT;
+  }
+#undef STEP_GET
+}
+
+// Multi-symbol LUT for the 8 map fillers (17,18,20,21,23,24,26,27): all
+// of them are TOTAL prefix codes (every bit pattern decodes; the range
+// checks live only in the t-fillers), so each 8-bit window resolves to a
+// fixed run of complete symbols. Entries are built at load time by
+// running one_step() itself over a 1-byte stream — the table can't drift
+// from the grammar.
+struct MapLutEntry {
+  uint64_t nibs;  // values as 4-bit two's complement at their row offsets
+  uint8_t nbits;  // bits consumed by the complete symbols (>= 1)
+  uint8_t nrows;  // rows produced (<= 17: a final two-zero may overhang)
+};
+
+struct MapLut {
+  MapLutEntry e[8][256];
+  int8_t slot[32];
+
+  struct SimSink {
+    uint64_t nibs = 0;
+    inline void put(int i, int v) {
+      nibs |= static_cast<uint64_t>(v & 0xF) << (4 * i);
+    }
+  };
+
+  MapLut() {
+    constexpr int FILLERS[8] = {17, 18, 20, 21, 23, 24, 26, 27};
+    for (int i = 0; i < 32; i++) slot[i] = -1;
+    for (int f = 0; f < 8; f++) {
+      slot[FILLERS[f]] = static_cast<int8_t>(f);
+      for (int pat = 0; pat < 256; pat++) {
+        uint8_t byte = static_cast<uint8_t>(pat);
+        BitReader b(&byte, 1, /*final_data=*/false);  // exactly 8 bits
+        SimSink s;
+        int i = 0;
+        int64_t good_bits = 0;
+        while (i < 16) {  // value nibbles must fit the u64
+          // snapshot-and-step: a symbol that would cross the 8-bit
+          // boundary EOFs the 1-byte reader and is discarded whole
+          BitReader saved = b;
+          int rc = one_step<true, SimSink>(b, FILLERS[f], 1 << 20, i, s);
+          if (rc != 0) { b = saved; break; }
+          good_bits = b.consumed_bits();
+        }
+        e[f][pat] = MapLutEntry{
+            s.nibs, static_cast<uint8_t>(good_bits > 0 ? good_bits : 0),
+            static_cast<uint8_t>(i)};
       }
     }
-    return 0;
   }
-  // map/zero-run/packed fillers: worst case 5 bits per step
+};
+
+const MapLut MAP_LUT;
+
+// LUT-driven map-filler column decode. avail >= 8 guarantees the peeked
+// window is fully loaded; entries apply only when their whole row run
+// fits (otherwise one per-symbol step, which also re-checks i < rows the
+// way the strict path does).
+template <typename Sink>
+inline int decode_map_col(BitReader& b, int slot, int ind, int rows,
+                          Sink& s) {
   int i = 0;
+  const MapLutEntry* lut = MAP_LUT.e[slot];
   while (i < rows) {
     if (!b.ensure(32) || b.avail < 8) {
-      // stream tail: checked single step via the strict path
-      int16_t tmp[1] = {0};
-      // decode exactly one step with checked reads by running the
-      // shared per-step logic below with checked getters
-      switch (ind) {
-        case 17: {
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          { uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_1BIT[x]; i += 1; }
-          break;
-        }
-        case 18: {
-          uint32_t h = b.get(1);
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (h) { uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
-                   col[i] = MAP_1BIT[x]; }
-          i += 1;
-          break;
-        }
-        case 19: {
-          uint32_t v = b.get(5);
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (v >= 27) return ERR_CORRUPT;
-          int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
-                          static_cast<int16_t>((v / 3) % 3 - 1),
-                          static_cast<int16_t>(v / 9 - 1)};
-          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
-          break;
-        }
-        case 20: {
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          { uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_2BIT_NEAR[x]; i += 1; }
-          break;
-        }
-        case 21: {
-          uint32_t h = b.get(1);
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (h) { uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
-                   col[i] = MAP_2BIT_NEAR[x]; }
-          i += 1;
-          break;
-        }
-        case 22: {
-          uint32_t v = b.get(7);
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (v >= 125) return ERR_CORRUPT;
-          int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
-                          static_cast<int16_t>((v / 5) % 5 - 2),
-                          static_cast<int16_t>(v / 25 - 2)};
-          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
-          break;
-        }
-        case 23: {
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (b.get(1) == 0) {
-            if (b.fail) return ERR_UNEXPECTED_EOF;
-            uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_1BIT[x];
-          } else {
-            if (b.fail) return ERR_UNEXPECTED_EOF;
-            uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_2BIT_FAR[x];
-          }
-          i += 1;
-          break;
-        }
-        case 24: {
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (b.get(1) == 0) {
-            if (b.fail) return ERR_UNEXPECTED_EOF;
-            uint32_t x = b.get(1); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_1BIT[x];
-          } else {
-            if (b.fail) return ERR_UNEXPECTED_EOF;
-            uint32_t x = b.get(2); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_2BIT_FAR[x];
-          }
-          i += 1;
-          break;
-        }
-        case 26: {
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 2; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (b.get(1) == 0) { if (b.fail) return ERR_UNEXPECTED_EOF; i += 1; break; }
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          { uint32_t x = b.get(3); if (b.fail) return ERR_UNEXPECTED_EOF;
-            col[i] = MAP_3BIT[x]; i += 1; }
-          break;
-        }
-        case 27: {
-          uint32_t h = b.get(1);
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (h) { uint32_t x = b.get(3); if (b.fail) return ERR_UNEXPECTED_EOF;
-                   col[i] = MAP_3BIT[x]; }
-          i += 1;
-          break;
-        }
-        case 29: {
-          uint32_t v = b.get(7);
-          if (b.fail) return ERR_UNEXPECTED_EOF;
-          if (v >= 121) return ERR_CORRUPT;
-          int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
-                          static_cast<int16_t>(v / 11 - 5)};
-          for (int j = 0; j < 2 && i < rows; j++, i++) col[i] = t[j];
-          break;
-        }
-        default:
-          return ERR_CORRUPT;
-      }
-      (void)tmp;
+      int rc = one_step<true, Sink>(b, ind, rows, i, s);
+      if (rc != 0) return rc;
       continue;
     }
-    // unchecked micro-batch: every step below consumes <= 7 bits
-    switch (ind) {
-      case 17:
-        while (i < rows && b.avail >= 3) {
-          if (b.getu(1) == 0) { i += 2; continue; }
-          if (b.getu(1) == 0) { i += 1; continue; }
-          col[i] = MAP_1BIT[b.getu(1)];
-          i += 1;
-        }
-        break;
-      case 18:
-        while (i < rows && b.avail >= 2) {
-          if (b.getu(1)) col[i] = MAP_1BIT[b.getu(1)];
-          i += 1;
-        }
-        break;
-      case 19:
-        while (i < rows && b.avail >= 5) {
-          uint32_t v = b.getu(5);
-          if (v >= 27) return ERR_CORRUPT;
-          int16_t t[3] = {static_cast<int16_t>(v % 3 - 1),
-                          static_cast<int16_t>((v / 3) % 3 - 1),
-                          static_cast<int16_t>(v / 9 - 1)};
-          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
-        }
-        break;
-      case 20:
-        while (i < rows && b.avail >= 4) {
-          if (b.getu(1) == 0) { i += 2; continue; }
-          if (b.getu(1) == 0) { i += 1; continue; }
-          col[i] = MAP_2BIT_NEAR[b.getu(2)];
-          i += 1;
-        }
-        break;
-      case 21:
-        while (i < rows && b.avail >= 3) {
-          if (b.getu(1)) col[i] = MAP_2BIT_NEAR[b.getu(2)];
-          i += 1;
-        }
-        break;
-      case 22:
-        while (i < rows && b.avail >= 7) {
-          uint32_t v = b.getu(7);
-          if (v >= 125) return ERR_CORRUPT;
-          int16_t t[3] = {static_cast<int16_t>(v % 5 - 2),
-                          static_cast<int16_t>((v / 5) % 5 - 2),
-                          static_cast<int16_t>(v / 25 - 2)};
-          for (int j = 0; j < 3 && i < rows; j++, i++) col[i] = t[j];
-        }
-        break;
-      case 23:
-        while (i < rows && b.avail >= 5) {
-          if (b.getu(1) == 0) { i += 2; continue; }
-          if (b.getu(1) == 0) { i += 1; continue; }
-          if (b.getu(1) == 0) col[i] = MAP_1BIT[b.getu(1)];
-          else col[i] = MAP_2BIT_FAR[b.getu(2)];
-          i += 1;
-        }
-        break;
-      case 24:
-        while (i < rows && b.avail >= 4) {
-          if (b.getu(1) == 0) { i += 1; continue; }
-          if (b.getu(1) == 0) col[i] = MAP_1BIT[b.getu(1)];
-          else col[i] = MAP_2BIT_FAR[b.getu(2)];
-          i += 1;
-        }
-        break;
-      case 26:
-        while (i < rows && b.avail >= 5) {
-          if (b.getu(1) == 0) { i += 2; continue; }
-          if (b.getu(1) == 0) { i += 1; continue; }
-          col[i] = MAP_3BIT[b.getu(3)];
-          i += 1;
-        }
-        break;
-      case 27:
-        while (i < rows && b.avail >= 4) {
-          if (b.getu(1)) col[i] = MAP_3BIT[b.getu(3)];
-          i += 1;
-        }
-        break;
-      case 29:
-        while (i < rows && b.avail >= 7) {
-          uint32_t v = b.getu(7);
-          if (v >= 121) return ERR_CORRUPT;
-          int16_t t[2] = {static_cast<int16_t>(v % 11 - 5),
-                          static_cast<int16_t>(v / 11 - 5)};
-          for (int j = 0; j < 2 && i < rows; j++, i++) col[i] = t[j];
-        }
-        break;
-      default:
-        return ERR_CORRUPT;
+    const MapLutEntry& e = lut[static_cast<uint32_t>(b.res) & 0xFF];
+    if (i + e.nrows <= rows) {
+      if (e.nibs) sink_put_nibs(s, i, e.nibs, e.nrows);
+      b.res >>= e.nbits;
+      b.avail -= e.nbits;
+      i += e.nrows;
+    } else {
+      int rc = one_step<false, Sink>(b, ind, rows, i, s);  // avail >= 8 > 7
+      if (rc != 0) return rc;
     }
   }
   return 0;
+}
+
+template <typename Sink>
+inline int decode_linear_col(BitReader& b, int ind, int rows, Sink& s) {
+  const int middle = 1 << (ind - 1);
+  int i = 0;
+  while (i < rows) {
+    if (b.ensure(32)) {
+      int nfit = b.avail / ind;
+      int stop = i + nfit < rows ? i + nfit : rows;
+      for (; i < stop; i++)
+        s.put(i, static_cast<int>(b.getu(ind)) - middle);
+    } else {
+      uint32_t v = b.get(ind);
+      if (b.fail) return ERR_UNEXPECTED_EOF;
+      s.put(i, static_cast<int>(v) - middle);
+      i++;
+    }
+  }
+  return 0;
+}
+
+template <typename Sink>
+inline int decode_trip_col(BitReader& b, int ind, int rows, Sink& s) {
+  int i = 0;
+  while (i < rows) {
+    if (!b.ensure(32) || b.avail < 7) {
+      int rc = one_step<true, Sink>(b, ind, rows, i, s);
+      if (rc != 0) return rc;
+      continue;
+    }
+    int rc = one_step<false, Sink>(b, ind, rows, i, s);
+    if (rc != 0) return rc;
+  }
+  return 0;
+}
+
+// Sink-templated fast column decode: values / consumed bits / failure
+// sites identical to decode_column (the strict spec path).
+template <typename Sink>
+int decode_col_sink(BitReader& b, int ind, int rows, Sink&& s) {
+  if (ind == 0) return 0;
+  if (ind >= 3 && ind <= 16) return decode_linear_col(b, ind, rows, s);
+  int slot = MAP_LUT.slot[ind & 31];
+  if (slot >= 0) return decode_map_col(b, slot, ind, rows, s);
+  if (ind == 19 || ind == 22 || ind == 29)
+    return decode_trip_col(b, ind, rows, s);
+  return ERR_CORRUPT;
+}
+
+int decode_column_fast(BitReader& b, int ind, int rows, int16_t* col) {
+  return decode_col_sink(b, ind, rows, ColSink{col});
+}
+
+// Smallest filler-family |k| bound that can exceed an amp table of
+// 2^pwr entries — i.e. this (ind, pwr) column can contain out-of-range
+// coefficient indexes (stale-amp-table semantics; see scan_driver).
+// Linear values span [-2^(ind-1), 2^(ind-1)-1], exactly an (ind-1)-bit
+// table's legal range, so linear escapes only when ind-1 > pwr; map and
+// packed fillers reach +maxk, escaping when maxk >= 2^pwr.
+inline bool possible_oor(int ind, uint32_t pwr) {
+  if (ind >= 3 && ind <= 16)
+    return static_cast<uint32_t>(ind - 1) > pwr;
+  int maxk = ind == 29 ? 5
+             : (ind == 26 || ind == 27 ? 4 : (ind >= 23 ? 3 : 2));
+  return maxk >= (1 << pwr);
 }
 
 // Shared scan driver, parameterized by an emitter:
@@ -651,6 +770,16 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
         break;
       }
       if (ind == 0) continue;  // f_zero: emitters treat absent as zero
+      if constexpr (FAST) {
+        // no-staging path: the emitter decodes straight into its final
+        // destination when this (ind, pwr) column cannot produce
+        // out-of-range indexes (the overwhelmingly common case); falls
+        // through to the staged + range-checked path otherwise
+        if (em.emit_direct(b, c, static_cast<int>(ind), pwr, &outcome)) {
+          if (outcome != 0) break;
+          continue;
+        }
+      }
       std::memset(col_tmp, 0, rows * sizeof(int16_t));
       outcome = FAST ? decode_column_fast(b, static_cast<int>(ind), rows,
                                           col_tmp)
@@ -881,6 +1010,14 @@ struct SynthEmitter {
     for (int i = 0; i < rows; i++)
       base[static_cast<int64_t>(i) * cols] = col[i];
   }
+  // Fast path: decode straight into the (pre-zeroed) row-major block
+  // buffer. Columns that could hold out-of-range indexes take the staged
+  // path so the driver's range scan sees the values.
+  bool emit_direct(BitReader& b, int c, int ind, uint32_t pwr, int* out) {
+    if (possible_oor(ind, pwr)) return false;
+    *out = decode_col_sink(b, ind, rows, StridedSink{kbuf + c, cols});
+    return true;
+  }
   // Exponent of table entry k (k != 0): the smallest pwr whose table
   // [-2^pwr, 2^pwr-1] covers k. ceil(log2(k+1)) for k>0, ceil(log2(-k))
   // for k<0 — matches the oracle's exception formula.
@@ -979,6 +1116,33 @@ struct PackedEmitter {
     }
     cls_out[nb * cls_stride() + (c >> 2)] |=
         code << ((c & 3) * 2);
+  }
+  // Fast path: decode straight into the wire payload streams (the packed
+  // form IS the destination — no col_tmp staging, no repack pass).
+  // Counters advance and class bits are set only on success, so a failed
+  // column needs no extra rollback (the partial payload writes sit past
+  // the committed counters and are never observed).
+  bool emit_direct(BitReader& b, int c, int ind, uint32_t pwr, int* out) {
+    if (possible_oor(ind, pwr)) return false;
+    uint8_t code = class_of(ind);
+    int rc;
+    if (code == 1) {
+      const int half = (rows + 1) / 2;
+      uint8_t* dst = reinterpret_cast<uint8_t*>(pay4 + n4 * half);
+      std::memset(dst, 0, half);
+      rc = decode_col_sink(b, ind, rows, Nib4Sink{dst});
+      if (rc == 0) n4++;
+    } else if (code == 2) {
+      rc = decode_col_sink(b, ind, rows, Pay8Sink{pay8 + n8 * rows});
+      if (rc == 0) n8++;
+    } else {
+      rc = decode_col_sink(b, ind, rows, Pay16Sink{pay16 + n16 * rows});
+      if (rc == 0) n16++;
+    }
+    if (rc == 0)
+      cls_out[nb * cls_stride() + (c >> 2)] |= code << ((c & 3) * 2);
+    *out = rc;
+    return true;
   }
   void commit_block(uint32_t pwr, uint32_t val, bool /*oor*/) {
     pwr_out[nb] = static_cast<uint8_t>(pwr);

@@ -335,6 +335,18 @@ class PackedScan:
                 + self.pay16.nbytes + self.val.nbytes)
 
 
+#: Writable slack (bytes) every pay4 buffer needs past its last column:
+#: the scanner's bulk nibble writes (Nib4Sink in _scan.cpp) OR up to 9
+#: bytes at once and may overhang the current column's region.
+PAY4_SLACK = 16
+
+
+def pay4_slack_rows(rows: int) -> int:
+    """Extra [ceil(rows/2)]-byte rows a pay4 pool needs for PAY4_SLACK."""
+    half = max((rows + 1) // 2, 1)
+    return -(-PAY4_SLACK // half)
+
+
 def unpack_cls(packed: np.ndarray, cols: int) -> np.ndarray:
     """2-bit-packed class map [..., ceil(cols/4)] → uint8 codes [..., cols]."""
     shifts = np.arange(4, dtype=np.uint8) * 2
@@ -414,7 +426,7 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     ncols_cap = max_blocks * cols
 
     cls = np.zeros((max_blocks, (cols + 3) // 4), dtype=np.uint8)
-    pay4 = np.zeros((ncols_cap, half), dtype=np.int8)
+    pay4 = np.zeros((ncols_cap + pay4_slack_rows(rows), half), dtype=np.int8)
     pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
     pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
     pwr = np.zeros(max_blocks, dtype=np.uint8)

@@ -957,17 +957,91 @@ inline uint32_t* synth_block_host(uint32_t* x, uint32_t* y, uint32_t* wrap,
   return x;
 }
 
+inline uint32_t dq(const int16_t* k, int64_t i, uint32_t val) {
+  return static_cast<uint32_t>(static_cast<int32_t>(k[i])) * val;
+}
+
+// Pass 0 with dequantization fused in: reads k (int16) directly, so the
+// k*val staging sweep never materializes (each k is read three times —
+// three cheap SIMD multiplies trade for a full write+read of the block).
+// `hist` is the pass-0 wrap segment (2L raw == dequantized-k words),
+// consumed only by the first period, so the caller may overwrite it after.
+inline void pass0_dequant(const int16_t* k, uint32_t val,
+                          const uint32_t* hist, uint32_t* y, int64_t n,
+                          int L) {
+  auto xk = [&](int64_t i) { return dq(k, i, val); };
+  auto x0 = [&](int64_t i) { return i < 0 ? hist[2 * L + i] : xk(i); };
+  for (int j = 0; j < L; j++)
+    y[j] = x0(j) + x0(j - 2 * L) + 2u * x0(j - L);
+  for (int j = 0; j < L; j++)
+    y[L + j] = 2u * x0(j) - x0(L + j) - x0(j - L);
+  for (int64_t i = 2 * L; i < n; i += 2 * L) {
+    for (int j = 0; j < L; j++)
+      y[i + j] = xk(i + j) + xk(i + j - 2 * L) + 2u * xk(i + j - L);
+    for (int j = 0; j < L; j++)
+      y[i + L + j] = 2u * xk(i + j) - xk(i + L + j) - xk(i + j - L);
+  }
+}
+
 // Dequantize + synthesize + shift + pack one dense block to int16 PCM.
 // xbuf/ybuf point at the data area of buffers with >= cols words headroom.
+// For level >= 2 the dequant is fused into pass 0 and the >>level + int16
+// pack into the final (sub_len==1) pass — the block makes two fewer trips
+// through memory than the staged pipeline.
 inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
                             int rows, int cols, uint32_t* wrap,
                             uint32_t* xbuf, uint32_t* ybuf, int16_t* dst) {
   const int64_t n = static_cast<int64_t>(rows) * cols;
-  for (int64_t i = 0; i < n; i++)
-    xbuf[i] = static_cast<uint32_t>(static_cast<int32_t>(k[i])) * val;
-  const uint32_t* res = synth_block_host(xbuf, ybuf, wrap, level, rows, cols);
-  for (int64_t i = 0; i < n; i++)
-    dst[i] = static_cast<int16_t>(static_cast<int32_t>(res[i]) >> level);
+  if (level == 0) {  // no passes, no bias; >>0 keeps the low 16 bits
+    for (int64_t i = 0; i < n; i++)
+      dst[i] = static_cast<int16_t>(static_cast<int32_t>(dq(k, i, val)));
+    return;
+  }
+  if (level == 1) {  // single pass: staged path (bias hits every element)
+    for (int64_t i = 0; i < n; i++) xbuf[i] = dq(k, i, val);
+    const uint32_t* res =
+        synth_block_host(xbuf, ybuf, wrap, level, rows, cols);
+    for (int64_t i = 0; i < n; i++)
+      dst[i] = static_cast<int16_t>(static_cast<int32_t>(res[i]) >> level);
+    return;
+  }
+  int L = cols >> 1;
+  uint32_t* x = xbuf;
+  uint32_t* y = ybuf;
+  pass0_dequant(k, val, wrap, y, n, L);
+  for (int64_t i = 0; i < n; i += L) y[i] += 1u;  // pass-0 rounding bias
+  for (int j = 0; j < 2 * L; j++) wrap[j] = dq(k, n - 2 * L + j, val);
+  uint32_t* w = wrap + 2 * L;
+  std::swap(x, y);
+  for (int p = 1; p < level - 1; p++) {
+    L = cols >> (p + 1);
+    std::memcpy(x - 2 * L, w, 2 * L * sizeof(uint32_t));  // history
+    std::memcpy(w, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
+    switch (L) {
+      case 1: pass_body_fixed<1>(x, y, n); break;
+      case 2: pass_body_fixed<2>(x, y, n); break;
+      case 4: pass_body_fixed<4>(x, y, n); break;
+      case 8: pass_body_fixed<8>(x, y, n); break;
+      default: pass_body_generic(x, y, n, L); break;
+    }
+    w += 2 * L;
+    std::swap(x, y);
+  }
+  // final pass (sub_len == 1) with >>level + int16 pack fused in; its
+  // inputs are RAW x values, so there is no serial dependency to break
+  const uint32_t h0 = w[0], h1 = w[1];
+  w[0] = x[n - 2];
+  w[1] = x[n - 1];
+  dst[0] = static_cast<int16_t>(
+      static_cast<int32_t>(x[0] + h0 + 2u * h1) >> level);
+  dst[1] = static_cast<int16_t>(
+      static_cast<int32_t>(2u * x[0] - x[1] - h1) >> level);
+  for (int64_t i = 2; i < n; i += 2) {
+    dst[i] = static_cast<int16_t>(
+        static_cast<int32_t>(x[i] + x[i - 2] + 2u * x[i - 1]) >> level);
+    dst[i + 1] = static_cast<int16_t>(
+        static_cast<int32_t>(2u * x[i] - x[i + 1] - x[i - 1]) >> level);
+  }
 }
 
 // Fused scan+synth emitter: the host-output fast path. Collects each

@@ -14,6 +14,7 @@ import hashlib
 import os
 import pathlib
 import subprocess
+import sys
 import tempfile
 import threading
 
@@ -516,6 +517,56 @@ class HostDecodeScratch:
         self.xbuf = np.zeros(n + (1 << level), dtype=np.uint32)
         self.ybuf = np.zeros(n + (1 << level), dtype=np.uint32)
         self.meta = np.zeros(12, dtype=np.int64)
+        self._max_events = 0
+
+    def event_bufs(self, max_events: int):
+        """(events, tell, ev_pwr, ev_val) scratch, grown geometrically.
+
+        Only the [:n_events] slices are copied out of these, so reuse is
+        safe — and it matters: fresh multi-100-KB zeroed arrays per file
+        were pure page-fault cost (~40% of the host corpus decode's
+        Python-side overhead)."""
+        if self._max_events < max_events:
+            self._max_events = max(max_events, 2 * self._max_events)
+            self.events = np.empty(self._max_events, dtype=np.int16)
+            self.tell = np.empty(self._max_events, dtype=np.int64)
+            self.ev_pwr = np.empty(self._max_events, dtype=np.uint8)
+            self.ev_val = np.empty(self._max_events, dtype=np.uint16)
+        return self.events, self.tell, self.ev_pwr, self.ev_val
+
+
+def _acquire_pcm(n: int) -> np.ndarray:
+    """int16 PCM output buffer from a refcount-gated freelist.
+
+    A fresh np.empty per decoded file makes the kernel zero-fault every
+    output page inside the native call (~1.4 ms per 1.2 MB file — as much
+    as the decode itself on a warm benchmark loop). Instead, buffers are
+    pooled per rounded size and reused once the caller has dropped every
+    reference (slices keep the base alive, so getrefcount on the base is
+    an exact liveness test). Thread-local, like the other scan scratch."""
+    cap = _round_up_pool(n)
+    pool: dict[int, list] | None = getattr(_SCRATCH_TLS, "pcm_pool", None)
+    if pool is None:
+        pool = _SCRATCH_TLS.pcm_pool = {}
+    lst = pool.setdefault(cap, [])
+    for a in lst:
+        # refs: the list slot, the loop variable, the getrefcount argument
+        if sys.getrefcount(a) == 3:
+            return a[:n]
+    # corpus-sized bound: a whole decode's outputs are typically live at
+    # once (the caller holds every FileResult), so reuse only pays across
+    # runs — track enough buffers for a large chunk, then stop (gc
+    # reclaims untracked ones when the caller drops them)
+    if len(lst) >= 256:
+        lst[:] = [a for a in lst if sys.getrefcount(a) == 3][:128]
+    a = np.empty(cap, dtype=np.int16)
+    lst.append(a)
+    return a[:n]
+
+
+def _round_up_pool(n: int) -> int:
+    step = max(1 << 16, 1 << (max(n.bit_length(), 4) - 3))
+    return -(-n // step) * step
 
 
 # Thread-local: the GIL is released during acm_decode_host, so concurrent
@@ -559,11 +610,8 @@ def _decode_host_raw(
 ) -> HostDecode:
     rows, cols = hdr.rows, hdr.cols
     s = _scratch(hdr.level, rows)
-    pcm = np.empty(max_blocks * rows * cols, dtype=np.int16)
-    events = np.zeros(max_events, dtype=np.int16)
-    tell = np.zeros(max_events, dtype=np.int64)
-    ev_pwr = np.zeros(max_events, dtype=np.uint8)
-    ev_val = np.zeros(max_events, dtype=np.uint16)
+    pcm = _acquire_pcm(max_blocks * rows * cols)
+    events, tell, ev_pwr, ev_val = s.event_bufs(max_events)
     # zero-copy uint8 view: accepts bytes, bytearray, or memoryview (the
     # buffer must stay unmutated for the GIL-released call — windowed
     # streams are single-threaded per stream)

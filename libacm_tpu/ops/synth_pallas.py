@@ -69,30 +69,38 @@ def _flat_shift(x_ext: jax.Array, s: int, lane: jax.Array, C: int) -> jax.Array:
     return jnp.where(lane >= r, lo, hi)
 
 
-def _kernel(val_sref, k_ref, wrap0_ref, pcm_ref, wrapf_ref, wrap_sc,
-            *, level: int, rows: int, H: int, C: int):
+def _kernel(k_ref, valr_ref, wrap0_ref, pcm_ref, wrapf_ref, wrap_sc,
+            *, level: int, rows: int, H: int, C: int, T: int):
     cols = 1 << level
-    R = rows * cols // C
-    b = pl.program_id(0)
+    n = rows * cols
+    R = n // C  # flat rows per block
+    TR = T * R  # flat rows per grid step (T consecutive blocks)
     i = pl.program_id(1)
-    nb = pl.num_programs(1)
+    nsteps = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _():
         wrap_sc[:] = wrap0_ref[0]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R + H, C), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R + H, C), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR + H, C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TR + H, C), 0)
     flat = (row - H) * C + lane  # flat index of the non-halo region
 
-    x = k_ref[0, 0].astype(jnp.int32) * val_sref[b, i]
+    # T blocks concatenated along the flat axis ARE the stream: every
+    # pass-p view of consecutive blocks stacks along its row axis (strip
+    # re-blocking invariance, SURVEY §2.6), so one tile juggles T blocks
+    # with the scratch carry crossing only the tile boundary. The
+    # per-block dequant vals arrive pre-expanded per flat row.
+    x = k_ref[0].reshape(TR, C).astype(jnp.int32) * valr_ref[0]
     for p in range(level):
         s = cols >> (p + 1)
         halo = wrap_sc[p]  # [H, C]; tail 2s elements are live
-        new_halo = x[R - H :, :]
-        xe = jnp.concatenate([halo, x], axis=0)  # [R+H, C]
+        new_halo = x[TR - H :, :]
+        xe = jnp.concatenate([halo, x], axis=0)  # [TR+H, C]
         x1 = _flat_shift(xe, s, lane, C)
-        x2 = _flat_shift(xe, 2 * s, lane, C)  # 2s == cols at p=0: H-row roll
+        x2 = _flat_shift(xe, 2 * s, lane, C)  # 2s == cols at p=0
+        # sign of (flat // s): n % 2s == 0, so the pattern is per-block
+        # consistent across the concatenated tile
         sign = 1 - 2 * ((flat >> (level - 1 - p)) & 1)
         y = sign * (xe + x2) + 2 * x1
         if p == 0:
@@ -100,19 +108,44 @@ def _kernel(val_sref, k_ref, wrap0_ref, pcm_ref, wrapf_ref, wrap_sc,
         wrap_sc[p] = new_halo
         x = y[H:, :]
 
-    pcm_ref[0, 0] = (x >> level).astype(jnp.int16)
+    pcm_ref[0] = (x >> level).astype(jnp.int16).reshape(T, R, C)
 
-    @pl.when(i == nb - 1)
+    @pl.when(i == nsteps - 1)
     def _():
         wrapf_ref[0] = wrap_sc[:]
 
 
 def _geometry(level: int, rows: int) -> tuple[int, int]:
-    """(H, C): lane width C and halo rows H = cols/C for the flat tile."""
+    """(H, C): lane width C and halo rows H = ceil(cols/C) for the tile.
+
+    Full 128-lane tiles whenever rows*cols divides by 128 — a cols=16
+    block at C=cols would drive 16 of 128 VPU lanes (the round-2 shootout
+    loss); flat-viewing as [n/128, 128] works for every level because the
+    pass shifts act on the flat index, and one halo row (>= cols >= 2s
+    live tail elements) suffices for cols <= 128.
+    """
     cols = 1 << level
-    if cols <= _LANES:
-        return 1, cols
-    return cols // _LANES, _LANES
+    if cols > _LANES:
+        return cols // _LANES, _LANES
+    if (rows * cols) % _LANES == 0:
+        return 1, _LANES
+    return 1, cols
+
+
+def _blocks_per_step(level: int, rows: int, nb: int) -> int:
+    """Largest power-of-two divisor of nb with tile size <= ~64K elems.
+
+    TPU grids run sequentially; a 2048-element block per step leaves the
+    VPU idle between steps (the other round-2 shootout loss). Batching T
+    consecutive blocks per step amortizes the grid and keeps the carry
+    chain exact (it rides inside the tile; scratch crosses steps).
+    """
+    n = rows << level
+    t = max(1, (64 * 1024) // n)
+    t = 1 << (t.bit_length() - 1)
+    while t > 1 and (nb % t or t * n > _MAX_TILE_ELEMS):
+        t //= 2
+    return t
 
 
 def wrapbuf_to_rowbuf(wrap: jax.Array, level: int, rows: int) -> jax.Array:
@@ -120,16 +153,16 @@ def wrapbuf_to_rowbuf(wrap: jax.Array, level: int, rows: int) -> jax.Array:
     [..., level, H, C].
 
     Pass p's segment (length 2*sub_len) lands in the tail of its
-    flattened H·C(= cols)-element halo; the head is scratch the kernel
-    never reads (zero-filled).
+    flattened H·C-element halo (H·C >= cols >= 2*sub_len); the head is
+    scratch the kernel never reads (zero-filled).
     """
     cols = 1 << level
     H, C = _geometry(level, rows)
     lead = wrap.shape[:-1]
-    out = jnp.zeros(lead + (level, cols), wrap.dtype)
+    out = jnp.zeros(lead + (level, H * C), wrap.dtype)
     for p, (off, sub_len, _) in enumerate(_wrap_layout(level, cols)):
         seg = wrap[..., off : off + 2 * sub_len]
-        out = out.at[..., p, cols - 2 * sub_len :].set(seg)
+        out = out.at[..., p, H * C - 2 * sub_len :].set(seg)
     return out.reshape(lead + (level, H, C))
 
 
@@ -137,10 +170,11 @@ def rowbuf_to_wrapbuf(buf: jax.Array, level: int) -> jax.Array:
     """Inverse of wrapbuf_to_rowbuf (drops the dead head of each halo)."""
     cols = 1 << level
     lead = buf.shape[:-3]
-    flat = buf.reshape(lead + (level, cols))
+    hc = buf.shape[-2] * buf.shape[-1]
+    flat = buf.reshape(lead + (level, hc))
     segs = []
     for p, (off, sub_len, _) in enumerate(_wrap_layout(level, cols)):
-        segs.append(flat[..., p, cols - 2 * sub_len :])
+        segs.append(flat[..., p, hc - 2 * sub_len :])
     return jnp.concatenate(segs, axis=-1)
 
 
@@ -172,24 +206,31 @@ def synth_pcm_pallas(
 
     H, C = _geometry(level, rows)
     R = n // C
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, nb),
+    T = _blocks_per_step(level, rows, nb)
+    # per-flat-row dequant vals (tiny: nb*R int32/file) — computed by XLA
+    # so the kernel multiplies a [TR, 1] column against the [TR, C] tile
+    # without any per-row dynamic indexing
+    valr = jnp.repeat(vals.astype(jnp.int32), R, axis=1)[..., None]
+    grid_spec = pl.GridSpec(
+        grid=(B, nb // T),
         in_specs=[
-            pl.BlockSpec((1, 1, R, C), lambda b, i, *_: (b, i, 0, 0),
+            pl.BlockSpec((1, T, R, C), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, level, H, C), lambda b, i, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, T * R, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, level, H, C), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, R, C), lambda b, i, *_: (b, i, 0, 0),
+            pl.BlockSpec((1, T, R, C), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, level, H, C), lambda b, i, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, level, H, C), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((level, H, C), jnp.int32)],
     )
-    kernel = functools.partial(_kernel, level=level, rows=rows, H=H, C=C)
+    kernel = functools.partial(_kernel, level=level, rows=rows, H=H, C=C,
+                               T=T)
     pcm, rowf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -197,6 +238,6 @@ def synth_pcm_pallas(
             jax.ShapeDtypeStruct((B, nb, R, C), jnp.int16),
             jax.ShapeDtypeStruct((B, level, H, C), jnp.int32),
         ),
-    )(vals.astype(jnp.int32), k.reshape(B, nb, R, C),
+    )(k.reshape(B, nb, R, C), valr,
       wrapbuf_to_rowbuf(wrap0, level, rows))
     return pcm.reshape(B, nb, n), rowbuf_to_wrapbuf(rowf, level)

@@ -236,11 +236,30 @@ class _FileEntry:
         try:
             return _read_source(self.src)
         except OSError:
-            self.open_failed = True
-            self.n_good = 0
-            self.first_err = int(AcmError.ERR_OPEN)
-            self.events = np.zeros(0, dtype=np.int16)
+            self._mark_open_failed()
             return b""
+
+    def load_into(self, mv: memoryview, pos: int, cap: int) -> int:
+        """Read up to cap file bytes straight into mv[pos:], returning the
+        byte count (0 and open_failed on a vanished file) — the zero-copy
+        loader for the batched chunk scan."""
+        try:
+            src = self.src
+            if isinstance(src, (bytes, bytearray)):
+                n = min(len(src), cap)
+                mv[pos : pos + n] = memoryview(src)[:n]
+                return n
+            with open(src, "rb") as f:
+                return f.readinto(mv[pos : pos + cap]) or 0
+        except OSError:
+            self._mark_open_failed()
+            return 0
+
+    def _mark_open_failed(self) -> None:
+        self.open_failed = True
+        self.n_good = 0
+        self.first_err = int(AcmError.ERR_OPEN)
+        self.events = np.zeros(0, dtype=np.int16)
 
 
 @dataclasses.dataclass
@@ -525,19 +544,27 @@ def _acquire_wire_bufs(b: int, nb: int, level: int, rows: int) -> _WireBufs:
         if w.key == key and w.free():
             w.reset()
             return w
-    if len(pool) > 8:  # bound pool growth across many shapes
-        pool[:] = [w for w in pool if not w.free()]
+    # bound pool growth, but never below the in-flight window: on a slow
+    # transfer link many chunks of one shape are in flight at once, and
+    # evicting free buffers then forces fresh (page-faulting) allocations
+    # in the scan loop — measured as a 2-3x scan_s inflation
+    if len(pool) > 24:
+        free = [w for w in pool if w.free()]
+        busy = [w for w in pool if not w.free()]
+        pool[:] = busy + free[:8]
     w = _WireBufs(b, nb, level, rows)
     pool.append(w)
     return w
 
 
 def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
-    """Host half of the cols-wire path: one zero-copy native scan per file,
-    writing straight into the chunk's (pooled) wire buffers. Returns
+    """Host half of the cols-wire path: ONE batched native scan over the
+    whole chunk (file bytes staged back to back in a pooled blob), writing
+    straight into the chunk's (pooled) wire buffers. Returns
     (arrays, _WireBufs) — the caller attaches the dispatch future to the
     buffer set so it is not reused while the transfer may still read it.
     Scratch buffers are thread-local (decode_corpus may run concurrently)."""
+    from ..format import ACM_HEADER_LEN, WAVC_HEADER_LEN
     from ..scan import native as _native
 
     cols = 1 << level
@@ -553,18 +580,48 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
         bufs = _native.CorpusScanBuffers(max_file_bytes=max(1 << 22, max_bytes))
         _SCAN_TLS.bufs = bufs
 
-    o4 = o8 = o16 = 0
+    # stage file bytes back to back into the pooled blob (readinto: no
+    # intermediate bytes objects); a file that grew since the header peek
+    # is scanned at its peeked size (its bucket was chosen from that size)
+    total = sum(e.nbytes for e in chunk)
+    blob = getattr(_SCAN_TLS, "blob", None)
+    if blob is None or len(blob) < total:
+        blob = _SCAN_TLS.blob = np.empty(total + total // 4 + 4096,
+                                         dtype=np.uint8)
+    mv = memoryview(blob)
+    offs = np.zeros(b, dtype=np.int64)
+    lens = np.zeros(b, dtype=np.int64)
+    skips = np.zeros(b, dtype=np.int64)
+    maxbs = np.zeros(b, dtype=np.int64)
+    pos = 0
     for j, e in enumerate(chunk):
-        data = e.load_data()  # released at loop end: RSS stays O(file)
+        n = e.load_into(mv, pos, e.nbytes)
+        offs[j] = pos
+        lens[j] = n
+        pos += n
+        skips[j] = 8 * (ACM_HEADER_LEN
+                        + (WAVC_HEADER_LEN if e.header.wavc_file else 0))
+        maxbs[j] = min(e.header.n_blocks, nb)
+
+    ev_cap = nb + 64
+    out, events, o4, o8, o16 = _native.scan_corpus_chunk(
+        blob, offs, lens, skips, maxbs, level, rows,
+        w.cls, w.pwr, w.vals, w.pay4, w.pay8, w.pay16, bufs, ev_cap,
+    )
+    for j, e in enumerate(chunk):
         if e.open_failed:
             continue  # slot stays zeroed; _finalize reports ERR_OPEN
-        ng, err, o4, o8, o16, oor, events = _native.scan_corpus_into(
-            data, e.header, w.cls[j], w.pwr[j], w.vals[j],
-            w.pay4, w.pay8, w.pay16, o4, o8, o16, bufs,
-        )
-        e.n_good, e.first_err, e.events = ng, err, events
+        ng, err, oor, nev, ovf = (int(x) for x in out[j])
+        e.n_good, e.first_err = ng, err
+        if ovf:
+            # heavily corrupt stream: event list overflowed the per-file
+            # cap — rescan solo for the full CLI stop-semantics input
+            e.events = _native.scan_bytes_packed(
+                bytes(mv[offs[j] : offs[j] + lens[j]])).events
+        else:
+            e.events = events[j, :nev].copy()
         if oor:
-            _host_decode_fallback(e, data)
+            _host_decode_fallback(e, bytes(mv[offs[j] : offs[j] + lens[j]]))
 
     # payload pools are append-only up to the counters; padding the slice
     # to stable 4096-row shapes may expose stale (never-gathered) rows
@@ -593,23 +650,122 @@ def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
     return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
 
 
+#: (platform, level, rows) -> measured winner ("jax" | "pallas")
+_BACKEND_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def _backend_cache_path() -> "os.PathLike | None":
+    import pathlib
+
+    base = os.environ.get("LIBACM_TPU_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "libacm_tpu")
+    try:
+        p = pathlib.Path(base)
+        p.mkdir(parents=True, exist_ok=True)
+        return p / "backend_shootout.json"
+    except OSError:
+        return None
+
+
+def measure_backend(level: int, rows: int) -> tuple[str, dict]:
+    """Time the XLA pass chain vs the fused Pallas kernel on THIS device
+    for one geometry (device-resident synthetic data: pure compute, no
+    transfer) and cross-check bit-exact equality. Returns
+    (winner, {backend: Msamples/s}). The equality check doubles as an
+    on-hardware Pallas parity probe for the geometry (exactness wins over
+    speed on any mismatch — which would be a kernel bug, not a tradeoff).
+    """
+    import time as _time
+
+    from ..ops.synth_jax import synth_pcm_batch
+    from ..ops.synth_pallas import synth_pcm_pallas
+
+    cols = 1 << level
+    n = rows * cols
+    nb = 128
+    B = max(1, min(16, (1 << 25) // (n * nb // 8)))
+    key = jax.random.PRNGKey(0)
+    k = jax.random.randint(key, (B, nb, rows, cols), -2000, 2000,
+                           jnp.int32).astype(jnp.int16)
+    vals = jnp.full((B, nb), 1000, jnp.int32)
+    wrap0 = jnp.zeros((B, max(2 * cols - 2, 1)), jnp.int32)
+    total = B * nb * n
+    speeds: dict[str, float] = {}
+    outs = {}
+    for name, fn in (("jax", synth_pcm_batch), ("pallas", synth_pcm_pallas)):
+        try:
+            pcm, _ = fn(k, vals, wrap0, level=level, rows=rows)
+            pcm.block_until_ready()  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                pcm, _ = fn(k, vals, wrap0, level=level, rows=rows)
+                pcm.block_until_ready()
+                best = min(best, _time.perf_counter() - t0)
+            speeds[name] = total / best / 1e6
+            outs[name] = pcm
+        except Exception as exc:  # pallas unsupported on this backend
+            logger.info("backend %s failed for (%d,%d): %s", name, level,
+                        rows, exc)
+            speeds[name] = 0.0
+    if len(outs) == 2 and not bool(
+            jnp.array_equal(outs["jax"], outs["pallas"])):
+        logger.error("pallas/XLA mismatch at (level=%d, rows=%d); forcing "
+                     "XLA", level, rows)
+        return "jax", speeds
+    winner = max(speeds, key=lambda b: speeds[b])
+    return winner, speeds
+
+
 def resolve_device_backend(backend: str, level: int, rows: int) -> str:
     """Map backend="auto" to the synthesis kernel for one bucket geometry.
 
-    On TPU the fused Pallas kernel (ops.synth_pallas) is preferred where
-    it applies — it reads k and writes PCM exactly once vs the XLA pass
-    chain's ~level round-trips of HBM traffic (bench.py measures both on
-    hardware; see BENCH notes in BASELINE.md). CPU (tests, fallbacks) and
-    oversized geometries use the XLA path.
+    Measurement-grounded: the first time a geometry is decoded on an
+    accelerator, both backends run a device-resident micro-shootout
+    (measure_backend) and the winner is cached — in memory and on disk
+    (~/.cache/libacm_tpu/backend_shootout.json, override dir with
+    LIBACM_TPU_CACHE) so later processes skip the probe. CPU/GPU and
+    unsupported geometries use the XLA path outright.
     """
     if backend != "auto":
         return backend
     from ..ops.synth_pallas import pallas_supported
 
-    if pallas_supported(level, rows) and jax.default_backend() not in (
-            "cpu", "gpu"):
-        return "pallas"
-    return "jax"
+    plat = jax.default_backend()
+    if plat in ("cpu", "gpu") or not pallas_supported(level, rows):
+        return "jax"
+    key = (plat, level, rows)
+    got = _BACKEND_CACHE.get(key)
+    if got is not None:
+        return got
+    import json
+
+    path = _backend_cache_path()
+    disk: dict = {}
+    if path is not None:
+        try:
+            disk = json.loads(path.read_text())
+        except (OSError, ValueError):
+            disk = {}
+        hit = disk.get(f"{plat}/{level}/{rows}")
+        if isinstance(hit, dict) and hit.get("winner") in ("jax", "pallas"):
+            _BACKEND_CACHE[key] = hit["winner"]
+            return hit["winner"]
+    winner, speeds = measure_backend(level, rows)
+    _BACKEND_CACHE[key] = winner
+    logger.info("backend shootout (level=%d, rows=%d): %s", level, rows,
+                {k_: round(v, 1) for k_, v in speeds.items()})
+    if path is not None:
+        disk[f"{plat}/{level}/{rows}"] = {
+            "winner": winner,
+            "speeds_Msamples_per_s": {k_: round(v, 1)
+                                      for k_, v in speeds.items()},
+        }
+        try:
+            path.write_text(json.dumps(disk, indent=1, sort_keys=True))
+        except OSError:
+            pass
+    return winner
 
 
 def decode_corpus_device(
@@ -696,16 +852,18 @@ def decode_corpus_device(
             elif chunk_files is not None:
                 step = max(1, chunk_files) * n_shards
             else:
-                # auto: ~8M samples per dispatch (per shard), 8..256 files
+                # auto: ~16M samples per dispatch (per shard), 8..256
+                # files — sized against the relay's per-dispatch latency,
+                # not device occupancy (the TPU is never the bottleneck)
                 per_file = max(1, nb * rows * cols)
-                step = min(256, max(8, -(-8_000_000 // per_file))) * n_shards
+                step = min(256, max(8, -(-16_000_000 // per_file))) * n_shards
             for lo in range(0, len(entries), step):
                 chunk = entries[lo : lo + step]
                 # bound in-flight dispatches: caps host memory at
                 # O(few chunks) of wire arrays and lets their pooled
-                # buffers recycle (scan of chunk N still overlaps the
-                # device work of chunks N-1 and N-2)
-                while len(pending) - n_collected >= 3:
+                # buffers recycle; deep enough that a slow transfer link
+                # stays saturated while the host scans ahead
+                while len(pending) - n_collected >= 6:
                     out._add_bucket(pending[n_collected].result())
                     n_collected += 1
                 if use_cols_wire and mesh is not None:
@@ -897,74 +1055,255 @@ def _dispatch_cols_wire_sharded(mesh, groups, chunk, level: int, rows: int,
     return _BucketOut(level=level, rows=rows, entries=entries, pcm=pcm)
 
 
+#: windowed stream scan statuses (mirror _scan.cpp)
+_EXPECTED_EOF = -99
+_NEED_MORE_DATA = -98
+
+
+class _StreamReader:
+    """Incremental byte feeder for decode_stream_device: wraps a path,
+    bytes, or read()-only object; never holds more than what the caller's
+    window needs (paths are NOT slurped)."""
+
+    def __init__(self, src: Source):
+        self._close = None
+        if isinstance(src, (bytes, bytearray)):
+            import io as _io
+
+            self._f = _io.BytesIO(src)
+        elif hasattr(src, "read"):
+            self._f = src
+        else:
+            self._f = open(src, "rb")
+            self._close = self._f.close
+
+    def read(self, n: int) -> bytes:
+        return self._f.read(n) or b""
+
+    def close(self) -> None:
+        if self._close is not None:
+            self._close()
+
+
 def decode_stream_device(
     source: Source,
     *,
     mesh: Mesh | None = None,
     axis: str = "blocks",
     force_chans: int = 0,
+    window_blocks: int | None = None,
 ) -> tuple[jax.Array, FileResult]:
     """Decode ONE stream with its block axis sharded across a mesh.
 
     The sequence-parallel analog (SURVEY §5 long-context): the carry-free
     synthesis formulation (ops.synth_jax — block i's pass-p carry is block
     i-1's pass-p input tail) makes the block axis pure data parallelism;
-    sharding `k` along it lets XLA insert the 2-row halo exchanges as
+    sharding along it lets XLA insert the 2-row halo exchanges as
     collective-permutes over ICI automatically. Returns (pcm int16
     device array [nb, block_len] sharded along `axis`, FileResult with
-    pcm=None carrying status/filler metadata). A huge file therefore
-    spans chips — the capability the reference approximates by streaming
-    (decode.c:29) and decode_corpus covers only per-file.
-    """
-    from ..ops.synth_jax import synth_pcm
+    pcm=None carrying status/filler metadata).
 
-    try:
-        data = _read_source(source)
-    except OSError as exc:
-        raise AcmException(AcmError.ERR_OPEN) from exc
-    header = parse_header(BitReader(data))
-    if header is None:
-        raise AcmException(AcmError.ERR_NOT_ACM)
-    scan = scan_bytes(data)
+    This is the SAME pipeline as the corpus path: windowed native packed
+    scan → cols-wire chunks → device unpack + synth, with the filterbank
+    carry threaded chunk to chunk ON DEVICE (never fetched). With
+    `window_blocks=W`, host residency is O(byte window + one chunk's
+    wire): each W-block wire chunk is dispatched as soon as it is
+    scanned, so a huge file genuinely spans chips without ever being
+    host-resident (the capability the reference approximates by
+    streaming, decode.c:29,41-67); `source` may be a read()-only object.
+    Default (None): one full-file window. Stale-amp-table streams
+    (hostile input) fall back to the exact host decoder (O(file)).
+    """
+    from ..ops.synth_jax import synth_pcm_cols
+    from ..scan import native as _native
+
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    use_native = _native.available()
+    if not use_native or window_blocks is None:
+        # one full-file window (and the only mode without the native
+        # scanner, which then routes through the exact oracle fallback)
+        try:
+            data = _read_source(source)
+        except OSError as exc:
+            raise AcmException(AcmError.ERR_OPEN) from exc
+        header = parse_header(BitReader(data))
+        if header is None:
+            raise AcmException(AcmError.ERR_NOT_ACM)
+        reader = _StreamReader(data[_stream_data_start(header):])
+        W = max(header.max_blocks_in(len(data)), 1)
+        nbytes = len(data)
+    else:
+        reader0 = _StreamReader(source)
+        head = bytearray()
+        while len(head) < 64:
+            got = reader0.read(1 << 16)
+            if not got:
+                break
+            head += got
+        header = parse_header(BitReader(bytes(head)))
+        if header is None:
+            reader0.close()
+            raise AcmException(AcmError.ERR_NOT_ACM)
+        reader = _StreamReader(
+            _PrefixedReader(head[_stream_data_start(header):], reader0))
+        W = window_blocks
+        nbytes = 0  # unknown; the windowed scan discovers the stream end
+
     e = _FileEntry(
-        index=0, src=source, header=header, nbytes=len(data),
+        index=0, src=source, header=header, nbytes=nbytes,
         channels=resolve_channels(header.channels, header.wavc_file,
                                   force_chans),
     )
-    e.n_good = scan.n_blocks
-    _, e.first_err = _n_good(scan.events)
-    e.events = scan.events
-    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-    nbp = max(_round_up(max(scan.n_blocks, 1), n_shards), n_shards)
-    if scan.n_exceptions:
-        # stale-amp-table stream (hostile): k*val cannot reproduce the
-        # reference's stale reads — decode exactly on the host (same
-        # fallback every sibling path takes) and place the result
+    level, rows, bl = header.level, header.rows, header.block_len
+    wlen = max(header.wrapbuf_len, 1)
+    W = max(_round_up(W, n_shards), n_shards)
+
+    sh_blk = (NamedSharding(mesh, P(axis, None)) if mesh is not None
+              else None)
+    state = {"oor": not use_native, "events": []}
+    pcm_parts = []
+    if use_native:
+        # dispatch each wire chunk as it is scanned; the wrap carry flows
+        # chunk to chunk without leaving the device
+        sh_cls = (NamedSharding(mesh, P(None, axis, None))
+                  if mesh is not None else None)
+        sh_v = (NamedSharding(mesh, P(None, axis)) if mesh is not None
+                else None)
+        sh_r = NamedSharding(mesh, P()) if mesh is not None else None
+        backend = resolve_device_backend("auto", level, rows)
+        wrapf = jnp.zeros((1, wlen), jnp.int32)
+        if sh_r is not None:
+            wrapf = jax.device_put(wrapf, sh_r)
+        for (cls, pay4, pay8, pay16, vals) in _stream_wire_chunks(
+                reader, e, W, state):
+            args = [cls[None], pay4, pay8, pay16, vals[None]]
+            if mesh is not None:
+                args[0] = jax.device_put(args[0], sh_cls)
+                args[4] = jax.device_put(args[4], sh_v)
+                args[1:4] = [jax.device_put(a, sh_r) for a in args[1:4]]
+            pcm_c, wrapf = synth_pcm_cols(
+                *args, wrapf, level=level, rows=rows, batch=1, nb=W,
+                backend=backend,
+            )
+            pcm_parts.append(pcm_c.reshape(W, bl))
+    reader.close()
+
+    e.events = (np.concatenate(state["events"]) if state["events"]
+                else np.zeros(0, dtype=np.int16))
+    if state["oor"]:
+        # stale-amp-table stream (hostile input) or no native scanner:
+        # only the exact host decode reproduces the reference
+        data = _read_source(source)
         _host_decode_fallback(e, data)
-        bl = header.block_len
+        nbp = max(_round_up(max(e.n_good, 1), n_shards), n_shards)
         full = np.zeros(nbp * bl, dtype=np.int16)
         n = min(len(e.host_pcm), nbp * bl)
         full[:n] = e.host_pcm[:n]
         pcm = full.reshape(nbp, bl)
-        if mesh is not None:
-            pcm = jax.device_put(pcm, NamedSharding(mesh, P(axis, None)))
-        else:
-            pcm = jnp.asarray(pcm)
+        pcm = (jax.device_put(pcm, sh_blk) if sh_blk is not None
+               else jnp.asarray(pcm))
     else:
-        k = np.zeros((nbp,) + scan.k.shape[1:], dtype=np.int16)
-        vals = np.zeros(nbp, dtype=np.int32)
-        k[: scan.n_blocks] = scan.k
-        vals[: scan.n_blocks] = scan.val.astype(np.int32)
-        wrap0 = jnp.zeros(max(header.wrapbuf_len, 1), dtype=jnp.int32)
-        if mesh is not None:
-            k = jax.device_put(k, NamedSharding(mesh, P(axis, None, None)))
-            vals = jax.device_put(vals, NamedSharding(mesh, P(axis)))
-            wrap0 = jax.device_put(wrap0, NamedSharding(mesh, P()))
-        pcm, _ = synth_pcm(jnp.asarray(k), jnp.asarray(vals), wrap0,
-                           level=header.level, rows=header.rows)
-    meta = _finalize(e, np.zeros(0, np.int16), header.block_len)
+        _, e.first_err = _n_good(e.events)
+        pcm = (jnp.concatenate(pcm_parts, axis=0) if len(pcm_parts) > 1
+               else pcm_parts[0] if pcm_parts
+               else jnp.zeros((n_shards, bl), jnp.int16))
+    meta = _finalize(e, np.zeros(0, np.int16), bl)
     meta.pcm = None
     return pcm, meta
+
+
+class _PrefixedReader:
+    """read()-only view that serves buffered head bytes first."""
+
+    def __init__(self, pre: bytearray, rd: "_StreamReader"):
+        self._pre, self._rd = bytearray(pre), rd
+
+    def read(self, n: int) -> bytes:
+        if self._pre:
+            out = bytes(self._pre[:n])
+            del self._pre[:n]
+            return out
+        return self._rd.read(n)
+
+
+def _stream_data_start(header: AcmHeader) -> int:
+    from ..format import ACM_HEADER_LEN, WAVC_HEADER_LEN
+
+    return ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0)
+
+
+def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
+                        state: dict):
+    """Windowed packed scan of one stream, yielding full wire chunks.
+
+    Each yielded chunk is (cls [W, stride], pay4, pay8, pay16, vals [W])
+    covering W committed blocks (the final chunk may cover fewer; its
+    tail rows are zero). Host residency: the byte window + one chunk's
+    wire. Sets state["oor"] (stale-amp-table: caller must fall back) and
+    appends per-window event arrays to state["events"]; e.n_good tracks
+    committed blocks. The scan's first pass over data the window didn't
+    fully cover is rolled back and retried with a grown window
+    (NEED_MORE_DATA), so re-emission stays clean.
+    """
+    from ..scan import native as _native
+
+    hdr = e.header
+    level, rows, cols = hdr.level, hdr.rows, hdr.cols
+    half = (rows + 1) // 2
+    buf = bytearray()
+    bit = 0
+    eof = False
+    # initial prefetch guess: ~4 wire bits/sample + block/column headers
+    need = max(1 << 16, (W * (rows * cols * 4 + 20 + 5 * cols)) // 8)
+    bufs = _native.CorpusScanBuffers()
+    while True:
+        while not eof and len(buf) < need:
+            got = reader.read(max(need - len(buf), 1 << 16))
+            if not got:
+                eof = True
+                break
+            buf += got
+        if not bufs.fits(len(buf)):
+            bufs = _native.CorpusScanBuffers(
+                max_file_bytes=len(buf) + (1 << 16))
+        cls = np.zeros((W, (cols + 3) // 4), dtype=np.uint8)
+        pwr = np.zeros(W, dtype=np.uint8)
+        vals = np.zeros(W, dtype=np.uint16)
+        pay4 = np.zeros((W * cols + _native.pay4_slack_rows(rows), half),
+                        dtype=np.int8)
+        pay8 = np.zeros((W * cols, rows), dtype=np.int8)
+        pay16 = np.zeros((W * cols, rows), dtype=np.int16)
+        ng, _err, o4, o8, o16, oor, events = _native.scan_corpus_into(
+            memoryview(buf), hdr, cls, pwr, vals, pay4, pay8, pay16,
+            0, 0, 0, bufs, start_bit=bit, final=eof, max_blocks=W,
+        )
+        status = int(bufs.meta[2])
+        resume = int(bufs.meta[10])
+        if oor:
+            state["oor"] = True
+            return
+        if status == _NEED_MORE_DATA and not eof:
+            # window ran dry mid-scan: grow it and rescan from the window
+            # start (fresh wire buffers per attempt: re-emission is clean)
+            need = int(need * 1.7) + (1 << 16)
+            continue
+        state["events"].append(events)
+        if ng > 0:
+            e.n_good += ng
+            yield (cls, pay4[: _round_up(o4, 256)],
+                   pay8[: _round_up(o8, 256)],
+                   pay16[: _round_up(o16, 256)], vals)
+        if status == _EXPECTED_EOF:
+            return
+        # full window committed (status 0): drop consumed bytes and keep
+        # scanning — the buffer may still hold undecoded blocks even at
+        # reader EOF; the final=True pass ends it with EXPECTED_EOF.
+        # (Rebuild instead of `del buf[:drop]`: the ctypes call keeps a
+        # cyclic export of the old buffer alive until gc, which would
+        # make an in-place resize raise BufferError.)
+        drop = resume // 8
+        buf = bytearray(memoryview(buf)[drop:])
+        bit = resume - 8 * drop
 
 
 def decode_corpus_host(

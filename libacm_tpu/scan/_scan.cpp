@@ -1293,6 +1293,10 @@ int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
 // length for a whole-file scan, or a BlockIndex entry for random access).
 // bitpos_out (nullable, [max_blocks]) receives each committed block's
 // absolute starting bit offset — the random-access index.
+// final_data=0: `data` is a partial window of the stream (no phantom EOF
+// byte); running dry mid-attempt rolls the attempt back and returns
+// status NEED_MORE_DATA with meta[10] = the retry bit — the windowed
+// wire producer for device-streaming one huge file in O(window) memory.
 int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
                              int64_t skip_bits, int32_t level, int32_t rows,
                              int64_t max_blocks, uint8_t* cls_out,
@@ -1301,7 +1305,8 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
                              uint8_t* pwr_out, uint16_t* val_out,
                              int16_t* events_scratch, int64_t* tell_scratch,
                              int64_t max_events, int16_t* col_tmp,
-                             int64_t* meta, int64_t* bitpos_out) {
+                             int64_t* meta, int64_t* bitpos_out,
+                             int32_t final_data) {
   const int cols = 1 << level;
   PackedEmitter em{cls_out, pay4, pay8, pay16, pwr_out, val_out, rows, cols};
   em.n4 = off4;
@@ -1313,7 +1318,7 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
   int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
       data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
       events_scratch, tell_scratch, meta, col_tmp, em,
-      /*stop_on_error=*/false, bitpos_out);
+      /*stop_on_error=*/false, bitpos_out, /*final_data=*/final_data != 0);
   meta[5] = em.n4;
   meta[6] = em.n8;
   meta[7] = em.n16;
@@ -1325,6 +1330,81 @@ int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
     }
   }
   return rc;
+}
+
+// Batched corpus scan: every file of one bucket chunk in a single call
+// (same level/rows/nb — the bucket key guarantees it). Eliminates the
+// per-file Python/ctypes round trip of the corpus scan loop; payload
+// streams are shared append-only across the whole chunk, exactly as the
+// per-file acm_scan_corpus_into sequence would produce.
+//   blob: all files back to back; off/len/skip_bits/max_blocks per file.
+//   cls/pwr/val: per-file slots at uniform strides (cls_stride bytes,
+//   nb entries).
+//   events_out [n_files * ev_cap]: per-file event lists (attempt
+//   outcomes, the CLI stop-semantics input). A file whose event count
+//   exceeds ev_cap gets out[j*5+4] = 1 (caller rescans it solo — only
+//   heavily corrupt streams).
+//   out [n_files * 5]: n_good, first_err, oor, n_events, overflow.
+//   meta[5..7]: final pay4/pay8/pay16 column counters.
+int64_t acm_scan_corpus_chunk(
+    const uint8_t* blob, const int64_t* off, const int64_t* lens,
+    const int64_t* skip_bits, const int64_t* max_blocks, int64_t n_files,
+    int32_t level, int32_t rows, int64_t nb_stride, int64_t cls_stride,
+    uint8_t* cls_out, int8_t* pay4, int8_t* pay8, int16_t* pay16,
+    uint8_t* pwr_out, uint16_t* val_out, int16_t* events_scratch,
+    int64_t* tell_scratch, int64_t max_events, int64_t ev_cap,
+    int16_t* events_out, int16_t* col_tmp, int64_t* meta, int64_t* out) {
+  const int cols = 1 << level;
+  int64_t o4 = 0, o8 = 0, o16 = 0;
+  for (int64_t j = 0; j < n_files; j++) {
+    if (lens[j] <= 0) {  // vanished/empty file: slot stays zeroed
+      out[j * 5 + 0] = 0;
+      out[j * 5 + 1] = 0;
+      out[j * 5 + 2] = 0;
+      out[j * 5 + 3] = 0;
+      out[j * 5 + 4] = 0;
+      continue;
+    }
+    PackedEmitter em{cls_out + j * cls_stride, pay4, pay8, pay16,
+                     pwr_out + j * nb_stride, val_out + j * nb_stride,
+                     rows, cols};
+    em.n4 = o4;
+    em.n8 = o8;
+    em.n16 = o16;
+    em.s4 = o4;
+    em.s8 = o8;
+    em.s16 = o16;
+    int64_t fmeta[12] = {0};
+    int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
+        blob + off[j], lens[j], skip_bits[j], level, rows, cols,
+        max_blocks[j], max_events, events_scratch, tell_scratch, fmeta,
+        col_tmp, em, /*stop_on_error=*/false);
+    if (rc != 0) return -(j + 1);  // event capacity exceeded (can't happen
+                                   // with the documented bound)
+    o4 = em.n4;
+    o8 = em.n8;
+    o16 = em.n16;
+    int64_t n_events = fmeta[1];
+    int64_t first_err = 0;
+    for (int64_t i = 0; i < n_events; i++) {
+      if (events_scratch[i] != 0) {
+        first_err = events_scratch[i];
+        break;
+      }
+    }
+    out[j * 5 + 0] = fmeta[0];
+    out[j * 5 + 1] = first_err;
+    out[j * 5 + 2] = fmeta[9];
+    out[j * 5 + 3] = n_events;
+    out[j * 5 + 4] = n_events > ev_cap ? 1 : 0;
+    if (n_events <= ev_cap)
+      std::memcpy(events_out + j * ev_cap, events_scratch,
+                  n_events * sizeof(int16_t));
+  }
+  meta[5] = o4;
+  meta[6] = o8;
+  meta[7] = o16;
+  return 0;
 }
 
 // Fused host decode: scan + dequantize + filterbank + >>level + int16

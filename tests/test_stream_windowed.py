@@ -408,3 +408,29 @@ def test_windowed_resume_after_seek_is_first_pass():
     s3 = AcmStream(io.BytesIO(data), window_blocks=3)
     s3.read_loop(32)
     assert _drain(s3, 4096) == tail_fresh
+
+
+def test_window_without_native_warns_loudly():
+    """window_blocks without the native scanner must NOT silently slurp:
+    the bounded-memory contract (decode.c:29) degrades to O(file) RSS, so
+    the stream warns (ResourceWarning) and then behaves as a whole-file
+    decode."""
+    import warnings
+
+    from libacm_tpu.scan import native as native_mod
+
+    rng = np.random.default_rng(7)
+    data = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=6)
+    orig = native_mod.available
+    native_mod.available = lambda: False
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            s = AcmStream(io.BytesIO(data), window_blocks=4)
+        assert any(issubclass(w.category, ResourceWarning) for w in rec)
+        assert s._win is None  # whole-file fallback
+        fallback = _drain(s, 4096)
+    finally:
+        native_mod.available = orig
+    s2 = AcmStream(io.BytesIO(data), window_blocks=4)
+    assert _drain(s2, 4096) == fallback

@@ -107,7 +107,8 @@ int main(int argc, char** argv) {
                              h.rows, max_blocks, cls.data(), pay4.data(),
                              pay8.data(), pay16.data(), 0, 0, 0, pwr.data(),
                              val.data(), events.data(), tell.data(),
-                             max_events, col_tmp.data(), meta.data(), nullptr);
+                             max_events, col_tmp.data(), meta.data(), nullptr,
+                             1);
         double dt = now() - t0;
         if (dt < best) best = dt;
         samples = meta[0] * bl;

@@ -62,20 +62,34 @@ def _bufs(nbytes: int) -> native.CorpusScanBuffers:
 
 
 def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,
-               max_blocks: int, bitpos_out: np.ndarray | None = None):
-    """Scan up to max_blocks from start_bit into fresh wire buffers."""
+               max_blocks: int, bitpos_out: np.ndarray | None = None,
+               pooled: bool = False):
+    """Scan up to max_blocks from start_bit into wire buffers.
+
+    pooled=True routes through the corpus layer's reusable wire-buffer
+    pool (the serving path: read_segment calls at a fixed bucketed shape
+    must not page-fault fresh multi-MB buffers per request); the caller
+    must consume the arrays before the next pooled call on this thread.
+    """
     rows, cols = header.rows, header.cols
-    half = (rows + 1) // 2
-    ncols_cap = max_blocks * cols
-    cls = np.zeros((1, max_blocks, (cols + 3) // 4), dtype=np.uint8)
-    pwr = np.zeros(max_blocks, dtype=np.uint8)
-    vals = np.zeros((1, max_blocks), dtype=np.uint16)
-    pay4 = np.zeros((ncols_cap + native.pay4_slack_rows(rows), half),
-                    dtype=np.int8)
-    pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
-    pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
+    if pooled:
+        from .corpus import _acquire_wire_bufs
+
+        w = _acquire_wire_bufs(1, max_blocks, header.level, rows)
+        cls, pwr, vals = w.cls, w.pwr, w.vals
+        pay4, pay8, pay16 = w.pay4, w.pay8, w.pay16
+    else:
+        half = (rows + 1) // 2
+        ncols_cap = max_blocks * cols
+        cls = np.zeros((1, max_blocks, (cols + 3) // 4), dtype=np.uint8)
+        pwr = np.zeros((1, max_blocks), dtype=np.uint8)
+        vals = np.zeros((1, max_blocks), dtype=np.uint16)
+        pay4 = np.zeros((ncols_cap + native.pay4_slack_rows(rows), half),
+                        dtype=np.int8)
+        pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
+        pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
     ng, err, o4, o8, o16, oor, _events = native.scan_corpus_into(
-        data, header, cls[0], pwr, vals[0], pay4, pay8, pay16, 0, 0, 0,
+        data, header, cls[0], pwr[0], vals[0], pay4, pay8, pay16, 0, 0, 0,
         _bufs(len(data)), start_bit=start_bit, bitpos_out=bitpos_out,
     )
     return ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16, oor
@@ -101,28 +115,54 @@ class RandomAccessCorpus:
     The corpus-scale counterpart of acm_seek_pcm (BASELINE config 5):
     `read(i, start_pcm, n_pcm)` returns per-channel-frame PCM from file i
     in O(segment), after a one-time index scan of that file.
+
+    Memory policy: file BYTES are held in an LRU capped at
+    `max_cached_files` (a 10k-file random-access sweep must not
+    accumulate the whole corpus in RSS — bytes re-read from the source
+    on a miss), while the small BlockIndexes (8 bytes/block) are kept in
+    a much larger LRU (`max_cached_indexes`) so an evicted file's next
+    read skips the O(file) index rescan.
     """
 
-    def __init__(self, sources, force_chans: int = 0):
+    def __init__(self, sources, force_chans: int = 0,
+                 max_cached_files: int = 8,
+                 max_cached_indexes: int = 65536, backend: str = "auto"):
         from .corpus import _read_source  # shared byte loader
 
         self._sources = list(sources)
         self._read_source = _read_source
         self._force_chans = force_chans
-        self._cache: dict[int, tuple[bytes, BlockIndex, int]] = {}
+        self._backend = backend
+        self._max_files = max(1, max_cached_files)
+        self._max_indexes = max(1, max_cached_indexes)
+        self._data_lru: "dict[int, bytes]" = {}
+        self._index_lru: "dict[int, tuple[BlockIndex, int]]" = {}
+
+    @staticmethod
+    def _touch(lru: dict, key, cap: int, make):
+        hit = lru.pop(key, None)
+        if hit is None:
+            hit = make()
+            while len(lru) >= cap:
+                lru.pop(next(iter(lru)))  # evict least recently used
+        lru[key] = hit
+        return hit
 
     def _entry(self, i: int):
-        hit = self._cache.get(i)
-        if hit is None:
+        data = self._touch(self._data_lru, i, self._max_files,
+                           lambda: self._read_source(self._sources[i]))
+
+        def make_index():
             from ..format import resolve_channels
 
-            data = self._read_source(self._sources[i])
             idx = build_index(data)
             ch = resolve_channels(idx.header.channels, idx.header.wavc_file,
                                   self._force_chans)
-            hit = (data, idx, ch)
-            self._cache[i] = hit
-        return hit
+            return idx, ch
+
+        idx, ch = self._touch(self._index_lru, i, self._max_indexes,
+                              make_index)
+        return data, idx, ch
 
     def pcm_total(self, i: int) -> int:
         data, idx, ch = self._entry(i)
@@ -131,16 +171,25 @@ class RandomAccessCorpus:
     def read(self, i: int, start_pcm: int, n_pcm: int) -> np.ndarray:
         """int16 [n, channels] frames from file i (clamped at stream end)."""
         data, idx, ch = self._entry(i)
-        words = read_segment(data, idx, start_pcm * ch, n_pcm * ch)
+        words = read_segment(data, idx, start_pcm * ch, n_pcm * ch,
+                             backend=self._backend)
         return words[: len(words) - len(words) % ch].reshape(-1, ch)
+
+    @property
+    def cached_files(self) -> int:
+        return len(self._data_lru)
 
 
 def read_segment(data: bytes, index: BlockIndex, start_word: int,
-                 n_words: int) -> np.ndarray:
+                 n_words: int, backend: str = "auto") -> np.ndarray:
     """Decode int16 words [start_word, start_word + n_words) in O(segment).
 
     Clamps to the decodable stream end (min(total_values, words_avail));
-    returns possibly fewer words at the tail, empty beyond it.
+    returns possibly fewer words at the tail, empty beyond it. The
+    serving path runs through the same machinery as corpus decode:
+    pooled wire buffers (no fresh multi-MB allocations per request) and
+    the measured backend selection (backend="auto" resolves per geometry
+    via the cached device shootout; "jax"/"pallas" force a kernel).
     """
     h = index.header
     bl = h.block_len
@@ -164,15 +213,12 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
     nb = b - a0
     nbp = _round_up(nb, 8)
     ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16, _oorseg = _scan_span(
-        data, h, int(index.bitpos[a0]) if a0 > 0 else None, nb
+        data, h, int(index.bitpos[a0]) if a0 > 0 else None, nbp,
+        pooled=True,
     )
-    if nbp != nb:
-        cls = np.concatenate(
-            [cls, np.zeros((1, nbp - nb) + cls.shape[2:], np.uint8)], axis=1)
-        vals = np.concatenate(
-            [vals, np.zeros((1, nbp - nb), np.uint16)], axis=1)
 
     from ..ops.synth_jax import synth_pcm_cols
+    from .corpus import resolve_device_backend
 
     pcm, _ = synth_pcm_cols(
         jnp.asarray(cls),
@@ -182,6 +228,7 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
         jnp.asarray(vals),
         jnp.zeros((1, h.wrapbuf_len), jnp.int32),
         level=h.level, rows=h.rows, batch=1, nb=nbp,
+        backend=resolve_device_backend(backend, h.level, h.rows),
     )
     flat = np.asarray(jax.device_get(pcm[0])).reshape(-1)
     lo = start_word - a0 * bl

@@ -34,9 +34,8 @@ def main() -> int:
         d = summary.as_dict()
         d["shard_files"] = len(mine)
         print("RESULT " + json.dumps(d), flush=True)
-    else:
-        print("SHARD " + json.dumps(
-            {"files": len(mine), "checksum": local_sum}), flush=True)
+    print("SHARD " + json.dumps(
+        {"files": len(mine), "checksum": local_sum}), flush=True)
     return 0
 
 

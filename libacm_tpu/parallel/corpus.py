@@ -557,7 +557,8 @@ def _acquire_wire_bufs(b: int, nb: int, level: int, rows: int) -> _WireBufs:
     return w
 
 
-def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
+def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int,
+                    b_cap: int | None = None):
     """Host half of the cols-wire path: ONE batched native scan over the
     whole chunk (file bytes staged back to back in a pooled blob), writing
     straight into the chunk's (pooled) wire buffers. Returns
@@ -568,7 +569,7 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int):
     from ..scan import native as _native
 
     cols = 1 << level
-    b = len(chunk)
+    b = max(len(chunk), b_cap or 0)  # uniform caps across shard groups
     w = _acquire_wire_bufs(b, nb, level, rows)
 
     if not chunk:  # empty shard group (chunk smaller than the mesh)
@@ -877,12 +878,13 @@ def decode_corpus_device(
                     wires = []
                     for s in range(n_shards):
                         g = chunk[s * per : (s + 1) * per]
-                        arrays, w = _scan_cols_wire(g, level, rows, nb)
+                        arrays, w = _scan_cols_wire(g, level, rows, nb,
+                                                    b_cap=per)
                         groups.append((g, arrays))
                         wires.append(w)
                     out.summary.scan_s += time.perf_counter() - t0
                     fut = submitter.submit(
-                        _dispatch_cols_wire_sharded, mesh, groups, chunk,
+                        _dispatch_cols_wire_sharded, mesh, groups, wires,
                         level, rows, nb, eff,
                     )
                     for w in wires:
@@ -1016,39 +1018,58 @@ def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
     ))
 
 
-def _dispatch_cols_wire_sharded(mesh, groups, chunk, level: int, rows: int,
+def _dispatch_cols_wire_sharded(mesh, groups, wires, level: int, rows: int,
                                 nb: int, backend: str) -> _BucketOut:
-    """Mesh half of the packed path: stack per-shard wire arrays (payloads
-    padded to a common shape), place them sharded, dispatch shard_map."""
+    """Mesh half of the packed path: place each shard group's (pooled)
+    wire buffers straight onto its device and assemble the global sharded
+    arrays with make_array_from_single_device_arrays — no host-side
+    re-stack into fresh zeroed buffers (that copy ran on the single,
+    already-bottlenecked host core; round-2 review item 10). Payload
+    slices are cut to a common 4096-rounded length directly from the
+    uniform-capacity pools, so every piece is contiguous."""
     n_shards = len(groups)
     cols = 1 << level
-    b_shard = max(len(g) for g, _ in groups)
-
-    # pad payload pools to stable 4096 multiples (compile-shape hygiene)
-    p4n = _round_up(max(g[1][1].shape[0] for g in groups), 4096)
-    p8n = _round_up(max(g[1][2].shape[0] for g in groups), 4096)
-    p16n = _round_up(max(g[1][3].shape[0] for g in groups), 4096)
-    cls = np.zeros((n_shards * b_shard, nb, (cols + 3) // 4), dtype=np.uint8)
-    vals = np.zeros((n_shards * b_shard, nb), dtype=np.uint16)
-    wrap0 = np.zeros((n_shards * b_shard, 2 * cols - 2), dtype=np.int32)
-    pay4 = np.zeros((n_shards, p4n) + groups[0][1][1].shape[1:], np.int8)
-    pay8 = np.zeros((n_shards, p8n) + groups[0][1][2].shape[1:], np.int8)
-    pay16 = np.zeros((n_shards, p16n) + groups[0][1][3].shape[1:], np.int16)
-    for s, (g, arrays) in enumerate(groups):
-        gc, g4, g8, g16, gv, _ = arrays
-        cls[s * b_shard : s * b_shard + len(g)] = gc
-        vals[s * b_shard : s * b_shard + len(g)] = gv
-        pay4[s, : g4.shape[0]] = g4
-        pay8[s, : g8.shape[0]] = g8
-        pay16[s, : g16.shape[0]] = g16
-
+    b_shard = wires[0].cls.shape[0]
+    devices = list(mesh.devices.flat)
     sh_b = NamedSharding(mesh, P("files"))
-    fn = _sharded_cols_fn(mesh, level, rows, n_shards * b_shard, nb, backend)
-    pcm, _ = fn(
-        jax.device_put(cls, sh_b), jax.device_put(pay4, sh_b),
-        jax.device_put(pay8, sh_b), jax.device_put(pay16, sh_b),
-        jax.device_put(vals, sh_b), jax.device_put(wrap0, sh_b),
+
+    # common padded payload lengths (clamped to the uniform pool capacity)
+    def _common(sizes, cap):
+        return min(_round_up(max(sizes), 4096), cap)
+
+    n4 = _common([g[1][1].shape[0] for g in groups], wires[0].pay4.shape[0])
+    n8 = _common([g[1][2].shape[0] for g in groups], wires[0].pay8.shape[0])
+    n16 = _common([g[1][3].shape[0] for g in groups],
+                  wires[0].pay16.shape[0])
+
+    def assemble(pieces, global_shape):
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sh_b, pieces)
+
+    puts = {name: [] for name in
+            ("cls", "pay4", "pay8", "pay16", "vals", "wrap0")}
+    wlen = 2 * cols - 2
+    zero_wrap = np.zeros((b_shard, wlen), dtype=np.int32)
+    for s, w in enumerate(wires):
+        d = devices[s]
+        puts["cls"].append(jax.device_put(w.cls, d))
+        puts["pay4"].append(jax.device_put(w.pay4[:n4][None], d))
+        puts["pay8"].append(jax.device_put(w.pay8[:n8][None], d))
+        puts["pay16"].append(jax.device_put(w.pay16[:n16][None], d))
+        puts["vals"].append(jax.device_put(w.vals, d))
+        puts["wrap0"].append(jax.device_put(zero_wrap, d))
+        w.dev = tuple(p[-1] for p in puts.values())
+    B = n_shards * b_shard
+    args = (
+        assemble(puts["cls"], (B, nb, (cols + 3) // 4)),
+        assemble(puts["pay4"], (n_shards, n4) + wires[0].pay4.shape[1:]),
+        assemble(puts["pay8"], (n_shards, n8) + wires[0].pay8.shape[1:]),
+        assemble(puts["pay16"], (n_shards, n16) + wires[0].pay16.shape[1:]),
+        assemble(puts["vals"], (B, nb)),
+        assemble(puts["wrap0"], (B, wlen)),
     )
+    fn = _sharded_cols_fn(mesh, level, rows, B, nb, backend)
+    pcm, _ = fn(*args)
     # entries in group-major order; padding rows only ever trail the
     # entries (groups are prefix-full), so entry j is pcm row j
     entries = [e for g, _ in groups for e in g]

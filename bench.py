@@ -214,6 +214,40 @@ def time_all(
             min(ref_t) if ref_t else None, shoot)
 
 
+def time_native_scan(files: list[pathlib.Path], total: int) -> float | None:
+    """Min-of-3 native packed scan of the whole corpus (pure host work)."""
+    from libacm_tpu.scan import native
+
+    if not native.available():
+        return None
+    datas = [f.read_bytes() for f in files]
+    best = min(_scan_once(native, datas) for _ in range(3))
+    return total / best / 1e6
+
+
+def _scan_once(native, datas) -> float:
+    t0 = time.perf_counter()
+    for d in datas:
+        try:
+            native.scan_bytes_packed(d)
+        except ValueError:
+            pass  # hostile member with a broken header
+    return time.perf_counter() - t0
+
+
+def pallas_parity_sweep() -> str:
+    """On-HW pallas-vs-XLA sweep in a subprocess (timeout-bounded)."""
+    sweep = pathlib.Path(__file__).parent / "tools" / "pallas_parity_sweep.py"
+    try:
+        r = subprocess.run([sys.executable, str(sweep)], timeout=900,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return "sweep timed out (remote compile service)"
+    for line in r.stdout.splitlines():
+        log("  " + line)
+    return "PASS" if r.returncode == 0 else "FAIL"
+
+
 def main() -> int:
     files = ensure_corpus()
     n_files = len(files)
@@ -235,6 +269,13 @@ def main() -> int:
     if ref is None:
         log("reference binary unavailable; vs_baseline=null")
 
+    # standalone bitstream-scan throughput (host CPU, no device): the
+    # serial VLC front-end is the Amdahl term under every number
+    scan_msps = time_native_scan(files, total_samples)
+    if scan_msps:
+        log(f"native packed scan alone: {scan_msps:.1f} Msamples/s "
+            f"({total_samples / scan_msps / 1e6:.3f} s host CPU)")
+
     fw_s, host_s, ref_s, shoot = time_all(ref, files, total_samples)
     if ref_s is not None:
         ref_msps = total_samples / ref_s / 1e6
@@ -248,6 +289,12 @@ def main() -> int:
         f"({realtime:.0f}x realtime @ {RATE} Hz mono)")
     log(f"framework (PCM fetched to host): {host_s:.3f} s = "
         f"{host_msps:.1f} Msamples/s")
+
+    import jax
+
+    if jax.default_backend() not in ("cpu", "gpu"):
+        log("pallas parity sweep (levels 1-12, on hardware):")
+        log(f"  sweep: {pallas_parity_sweep()}")
 
     print(json.dumps({
         "metric": "corpus_decode_Msamples_per_s",

@@ -128,31 +128,55 @@ def _nibbles_to_i16(p4: jax.Array, rows: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("rows",))
 def unpack_columns(
     cls_flat: jax.Array,  # uint8 [N] class codes in scan order
-    pay4: jax.Array,  # int8 [n4, ceil(rows/2)]
-    pay8: jax.Array,  # int8 [n8, rows]
-    pay16: jax.Array,  # int16 [n16, rows]
+    pay4: jax.Array,  # uint8 bit stream (class-1 columns)
+    pay8: jax.Array,  # uint8 bit stream (class-2)
+    pay16: jax.Array,  # uint8 bit stream (class-3)
+    wid4: jax.Array, wid8: jax.Array, wid16: jax.Array,  # width nibbles
     *,
     rows: int,
 ) -> jax.Array:
-    """Per-column wire format → int16 [N, rows] columns.
+    """Exact-width per-column wire (v2) → int16 [N, rows] columns.
 
-    Positions within each class payload are recovered on device with a
-    cumulative count over the class mask (the payloads are column-contiguous
-    in the same scan order as `cls_flat`).
+    Per class family: each nonzero column's width comes from its nibble
+    stream (w-1 at the column's class ordinal), its bit offset from an
+    exclusive cumsum of rows*w in scan order, and each value from a
+    two-uint16-gather window of the bit stream:
+
+        v = ((u16[bit>>4] | u16[(bit>>4)+1] << 16) >> (bit & 15)) & mask
+
+    (bit&15) + w <= 31, so the 32-bit window always covers the value.
+    Spending gathers to shrink the wire is the right trade here: the
+    host↔device link, not device compute, bounds the corpus pipeline.
+    Bit offsets are int32 — callers keep per-dispatch streams under 2^31
+    bits (the corpus layer's ~16M-sample chunks are far below).
     """
     n = cls_flat.shape[0]
     k = jnp.zeros((n, rows), jnp.int16)
-    for code, pay, expand in (
-        (1, pay4, lambda p: _nibbles_to_i16(p, rows)),
-        (2, pay8, lambda p: p.astype(jnp.int16)),
-        (3, pay16, lambda p: p),
-    ):
-        if pay.shape[0] == 0:
-            continue
+    r = jnp.arange(rows, dtype=jnp.int32)[None, :]
+    for code, pay, wid in ((1, pay4, wid4), (2, pay8, wid8),
+                           (3, pay16, wid16)):
+        if pay.shape[0] < 2 or wid.shape[0] == 0:
+            continue  # class family has no columns
         m = cls_flat == code
-        pos = jnp.clip(jnp.cumsum(m.astype(jnp.int32)) - 1, 0, pay.shape[0] - 1)
-        vals = jnp.take(expand(pay), pos, axis=0)
-        k = jnp.where(m[:, None], vals, k)
+        ordinal = jnp.cumsum(m.astype(jnp.int32)) - 1  # class ordinal
+        oc = jnp.clip(ordinal, 0, None)
+        wn = (wid[jnp.clip(oc >> 1, 0, wid.shape[0] - 1)]
+              >> ((oc & 1) * 4)) & 0xF
+        w = jnp.where(m, wn.astype(jnp.int32) + 1, 0)
+        colbits = w * rows
+        off = jnp.cumsum(colbits) - colbits  # exclusive, zeros contribute 0
+        bit = off[:, None] + r * w[:, None]  # [N, rows]
+        # two-uint16 gather window
+        h = jax.lax.bitcast_convert_type(
+            pay.reshape(-1, 2), jnp.uint16).astype(jnp.int32)
+        i0 = jnp.clip(bit >> 4, 0, h.shape[0] - 1)
+        i1 = jnp.clip((bit >> 4) + 1, 0, h.shape[0] - 1)
+        window = h[i0] | (h[i1] << 16)
+        wv = jnp.maximum(w[:, None], 1)  # avoid shift-by--1 on zero cols
+        v = (window >> (bit & 15)) & ((1 << wv) - 1)
+        sign = 1 << (wv - 1)
+        v = (v ^ sign) - sign
+        k = jnp.where(m[:, None], v.astype(jnp.int16), k)
     return k
 
 

@@ -197,7 +197,8 @@ def synth_pcm_packed(
 )
 def synth_pcm_cols(
     cls: jax.Array,  # uint8 [batch, nb, ceil(cols/4)] 2-bit-packed classes
-    pay4: jax.Array, pay8: jax.Array, pay16: jax.Array,
+    pay4: jax.Array, pay8: jax.Array, pay16: jax.Array,  # uint8 bit streams
+    wid4: jax.Array, wid8: jax.Array, wid16: jax.Array,  # width nibbles
     vals: jax.Array,  # [batch, nb]
     wrap0: jax.Array,  # [batch, 2*cols-2]
     *,
@@ -207,14 +208,15 @@ def synth_pcm_cols(
     nb: int,
     backend: str = "jax",
 ) -> tuple[jax.Array, jax.Array]:
-    """Batched synth from the per-column wire format (scanner packed mode).
+    """Batched synth from the exact-width per-column wire (scanner v2).
 
-    The C++ scanner emits column payloads classified {zero,4,8,16}-bit by
-    filler code (every non-linear filler fits 4 bits; linear widths map
-    directly); only those payloads plus a 2-bit/column class map
-    cross the host↔device link. Unpack (cumsum + gather) and synthesis fuse
-    into one device program. backend="pallas" runs the filterbank through
-    the fused VMEM kernel (ops.synth_pallas) instead of the XLA pass chain.
+    The C++ scanner emits each nonzero column as rows*w bits at its
+    filler's wire width, grouped into three class-family bit streams plus
+    width nibbles and a 2-bit/column class map — the minimal link bytes
+    short of entropy coding. Unpack (cumsum + 16-bit-window gathers) and
+    synthesis fuse into one device program. backend="pallas" runs the
+    filterbank through the fused VMEM kernel (ops.synth_pallas) instead
+    of the XLA pass chain.
     """
     from .packing import unpack_columns
 
@@ -223,7 +225,8 @@ def synth_pcm_cols(
     codes = (cls[..., None] >> shifts) & 3  # [batch, nb, stride, 4]
     codes = codes.reshape(batch, nb, -1)[..., :cols]
     k_cols = unpack_columns(
-        codes.reshape(batch * nb * cols), pay4, pay8, pay16, rows=rows
+        codes.reshape(batch * nb * cols), pay4, pay8, pay16,
+        wid4, wid8, wid16, rows=rows
     )  # [batch*nb*cols, rows]
     k = k_cols.reshape(batch, nb, cols, rows).transpose(0, 1, 3, 2)
     if backend == "pallas":

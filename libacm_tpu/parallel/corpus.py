@@ -494,20 +494,22 @@ class _WireBufs:
     """
 
     def __init__(self, b: int, nb: int, level: int, rows: int):
+        from ..scan.native import pay_stream_caps
+
         cols = 1 << level
-        half = (rows + 1) // 2
         ncols_cap = b * nb * cols
+        c4, c8, c16, cw = pay_stream_caps(ncols_cap, rows)
         self.key = (b, nb, level, rows)
         self.cls = np.zeros((b, nb, (cols + 3) // 4), dtype=np.uint8)
         self.pwr = np.zeros((b, nb), dtype=np.uint8)
         self.vals = np.zeros((b, nb), dtype=np.uint16)
         self.wrap0 = np.zeros((b, 2 * cols - 2), dtype=np.int32)
-        from ..scan.native import pay4_slack_rows
-
-        self.pay4 = np.empty((ncols_cap + pay4_slack_rows(rows), half),
-                             dtype=np.int8)
-        self.pay8 = np.empty((ncols_cap, rows), dtype=np.int8)
-        self.pay16 = np.empty((ncols_cap, rows), dtype=np.int16)
+        self.pay4 = np.empty(c4, dtype=np.uint8)
+        self.pay8 = np.empty(c8, dtype=np.uint8)
+        self.pay16 = np.empty(c16, dtype=np.uint8)
+        self.wid4 = np.empty(cw, dtype=np.uint8)
+        self.wid8 = np.empty(cw, dtype=np.uint8)
+        self.wid16 = np.empty(cw, dtype=np.uint8)
         self.fut = None  # in-flight dispatch still reading these buffers
         self.dev = None  # the dispatch's device arrays (transfer tracking)
 
@@ -573,7 +575,8 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int,
     w = _acquire_wire_bufs(b, nb, level, rows)
 
     if not chunk:  # empty shard group (chunk smaller than the mesh)
-        return (w.cls, w.pay4[:0], w.pay8[:0], w.pay16[:0], w.vals,
+        return (w.cls, w.pay4[:2], w.pay8[:2], w.pay16[:2], w.wid4[:2],
+                w.wid8[:2], w.wid16[:2], w.vals,
                 np.zeros((0, 2 * cols - 2), dtype=np.int32)), w
     max_bytes = max(e.nbytes for e in chunk)
     bufs = getattr(_SCAN_TLS, "bufs", None)
@@ -605,9 +608,10 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int,
         maxbs[j] = min(e.header.n_blocks, nb)
 
     ev_cap = nb + 64
-    out, events, o4, o8, o16 = _native.scan_corpus_chunk(
+    out, events, ncol, bits = _native.scan_corpus_chunk(
         blob, offs, lens, skips, maxbs, level, rows,
-        w.cls, w.pwr, w.vals, w.pay4, w.pay8, w.pay16, bufs, ev_cap,
+        w.cls, w.pwr, w.vals, w.pay4, w.pay8, w.pay16,
+        w.wid4, w.wid8, w.wid16, bufs, ev_cap,
     )
     for j, e in enumerate(chunk):
         if e.open_failed:
@@ -624,11 +628,20 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int,
         if oor:
             _host_decode_fallback(e, bytes(mv[offs[j] : offs[j] + lens[j]]))
 
-    # payload pools are append-only up to the counters; padding the slice
-    # to stable 4096-row shapes may expose stale (never-gathered) rows
-    return (w.cls, w.pay4[: _round_up(o4, 4096)],
-            w.pay8[: _round_up(o8, 4096)],
-            w.pay16[: _round_up(o16, 4096)], w.vals, w.wrap0), w
+    # payload pools are append-only up to the counters; padding slices to
+    # stable 4096-byte shapes may expose stale (never-gathered) bytes.
+    # Even lengths are load-bearing: the device unpack views streams as
+    # uint16 pairs.
+    def _pay(a: np.ndarray, used_bits: int) -> np.ndarray:
+        return a[: min(_round_up(-(-used_bits // 8) + 2, 4096), len(a))]
+
+    def _wid(a: np.ndarray, n_cols: int) -> np.ndarray:
+        return a[: min(_round_up(-(-n_cols // 2), 512), len(a))]
+
+    return (w.cls, _pay(w.pay4, bits[0]), _pay(w.pay8, bits[1]),
+            _pay(w.pay16, bits[2]), _wid(w.wid4, ncol[0]),
+            _wid(w.wid8, ncol[1]), _wid(w.wid16, ncol[2]),
+            w.vals, w.wrap0), w
 
 
 def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
@@ -998,9 +1011,10 @@ def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
 
     n_shards = int(np.prod(mesh.devices.shape))
 
-    def per_shard(cls, pay4, pay8, pay16, vals, wrap0):
+    def per_shard(cls, pay4, pay8, pay16, wid4, wid8, wid16, vals, wrap0):
         pcm, wrapf = synth_pcm_cols(
-            cls, pay4[0], pay8[0], pay16[0], vals, wrap0,
+            cls, pay4[0], pay8[0], pay16[0], wid4[0], wid8[0], wid16[0],
+            vals, wrap0,
             level=level, rows=rows, batch=batch // n_shards, nb=nb,
             backend=backend,
         )
@@ -1012,7 +1026,7 @@ def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
     # is embarrassingly parallel (no collectives), so the check buys nothing
     return jax.jit(shard_map(
         per_shard, mesh=mesh,
-        in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
+        in_specs=(spec_b,) * 9,
         out_specs=(spec_b, spec_b),
         check_vma=False,
     ))
@@ -1033,21 +1047,27 @@ def _dispatch_cols_wire_sharded(mesh, groups, wires, level: int, rows: int,
     devices = list(mesh.devices.flat)
     sh_b = NamedSharding(mesh, P("files"))
 
-    # common padded payload lengths (clamped to the uniform pool capacity)
-    def _common(sizes, cap):
-        return min(_round_up(max(sizes), 4096), cap)
+    # common padded payload lengths (clamped to the uniform pool capacity;
+    # even, for the device's uint16 stream view)
+    def _common(idx, pool):
+        n = min(_round_up(max(g[1][idx].shape[0] for g in groups), 4096),
+                len(pool))
+        return n - (n & 1)
 
-    n4 = _common([g[1][1].shape[0] for g in groups], wires[0].pay4.shape[0])
-    n8 = _common([g[1][2].shape[0] for g in groups], wires[0].pay8.shape[0])
-    n16 = _common([g[1][3].shape[0] for g in groups],
-                  wires[0].pay16.shape[0])
+    n4 = _common(1, wires[0].pay4)
+    n8 = _common(2, wires[0].pay8)
+    n16 = _common(3, wires[0].pay16)
+    nw4 = _common(4, wires[0].wid4)
+    nw8 = _common(5, wires[0].wid8)
+    nw16 = _common(6, wires[0].wid16)
 
     def assemble(pieces, global_shape):
         return jax.make_array_from_single_device_arrays(
             global_shape, sh_b, pieces)
 
-    puts = {name: [] for name in
-            ("cls", "pay4", "pay8", "pay16", "vals", "wrap0")}
+    names = ("cls", "pay4", "pay8", "pay16", "wid4", "wid8", "wid16",
+             "vals", "wrap0")
+    puts = {name: [] for name in names}
     wlen = 2 * cols - 2
     zero_wrap = np.zeros((b_shard, wlen), dtype=np.int32)
     for s, w in enumerate(wires):
@@ -1056,15 +1076,21 @@ def _dispatch_cols_wire_sharded(mesh, groups, wires, level: int, rows: int,
         puts["pay4"].append(jax.device_put(w.pay4[:n4][None], d))
         puts["pay8"].append(jax.device_put(w.pay8[:n8][None], d))
         puts["pay16"].append(jax.device_put(w.pay16[:n16][None], d))
+        puts["wid4"].append(jax.device_put(w.wid4[:nw4][None], d))
+        puts["wid8"].append(jax.device_put(w.wid8[:nw8][None], d))
+        puts["wid16"].append(jax.device_put(w.wid16[:nw16][None], d))
         puts["vals"].append(jax.device_put(w.vals, d))
         puts["wrap0"].append(jax.device_put(zero_wrap, d))
         w.dev = tuple(p[-1] for p in puts.values())
     B = n_shards * b_shard
     args = (
         assemble(puts["cls"], (B, nb, (cols + 3) // 4)),
-        assemble(puts["pay4"], (n_shards, n4) + wires[0].pay4.shape[1:]),
-        assemble(puts["pay8"], (n_shards, n8) + wires[0].pay8.shape[1:]),
-        assemble(puts["pay16"], (n_shards, n16) + wires[0].pay16.shape[1:]),
+        assemble(puts["pay4"], (n_shards, n4)),
+        assemble(puts["pay8"], (n_shards, n8)),
+        assemble(puts["pay16"], (n_shards, n16)),
+        assemble(puts["wid4"], (n_shards, nw4)),
+        assemble(puts["wid8"], (n_shards, nw8)),
+        assemble(puts["wid16"], (n_shards, nw16)),
         assemble(puts["vals"], (B, nb)),
         assemble(puts["wrap0"], (B, wlen)),
     )
@@ -1195,13 +1221,14 @@ def decode_stream_device(
         wrapf = jnp.zeros((1, wlen), jnp.int32)
         if sh_r is not None:
             wrapf = jax.device_put(wrapf, sh_r)
-        for (cls, pay4, pay8, pay16, vals) in _stream_wire_chunks(
-                reader, e, W, state):
-            args = [cls[None], pay4, pay8, pay16, vals[None]]
+        for (cls, pay4, pay8, pay16, wid4, wid8, wid16,
+             vals) in _stream_wire_chunks(reader, e, W, state):
+            args = [cls[None], pay4, pay8, pay16, wid4, wid8, wid16,
+                    vals[None]]
             if mesh is not None:
                 args[0] = jax.device_put(args[0], sh_cls)
-                args[4] = jax.device_put(args[4], sh_v)
-                args[1:4] = [jax.device_put(a, sh_r) for a in args[1:4]]
+                args[7] = jax.device_put(args[7], sh_v)
+                args[1:7] = [jax.device_put(a, sh_r) for a in args[1:7]]
             pcm_c, wrapf = synth_pcm_cols(
                 *args, wrapf, level=level, rows=rows, batch=1, nb=W,
                 backend=backend,
@@ -1270,7 +1297,6 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
 
     hdr = e.header
     level, rows, cols = hdr.level, hdr.rows, hdr.cols
-    half = (rows + 1) // 2
     buf = bytearray()
     bit = 0
     eof = False
@@ -1287,16 +1313,20 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
         if not bufs.fits(len(buf)):
             bufs = _native.CorpusScanBuffers(
                 max_file_bytes=len(buf) + (1 << 16))
+        c4, c8, c16, cw = _native.pay_stream_caps(W * cols, rows)
         cls = np.zeros((W, (cols + 3) // 4), dtype=np.uint8)
         pwr = np.zeros(W, dtype=np.uint8)
         vals = np.zeros(W, dtype=np.uint16)
-        pay4 = np.zeros((W * cols + _native.pay4_slack_rows(rows), half),
-                        dtype=np.int8)
-        pay8 = np.zeros((W * cols, rows), dtype=np.int8)
-        pay16 = np.zeros((W * cols, rows), dtype=np.int16)
-        ng, _err, o4, o8, o16, oor, events = _native.scan_corpus_into(
+        pay4 = np.zeros(c4, dtype=np.uint8)
+        pay8 = np.zeros(c8, dtype=np.uint8)
+        pay16 = np.zeros(c16, dtype=np.uint8)
+        wid4 = np.zeros(cw, dtype=np.uint8)
+        wid8 = np.zeros(cw, dtype=np.uint8)
+        wid16 = np.zeros(cw, dtype=np.uint8)
+        ng, _err, ncol, bits, oor, events = _native.scan_corpus_into(
             memoryview(buf), hdr, cls, pwr, vals, pay4, pay8, pay16,
-            0, 0, 0, bufs, start_bit=bit, final=eof, max_blocks=W,
+            wid4, wid8, wid16, bufs, start_bit=bit, final=eof,
+            max_blocks=W,
         )
         status = int(bufs.meta[2])
         resume = int(bufs.meta[10])
@@ -1311,9 +1341,20 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
         state["events"].append(events)
         if ng > 0:
             e.n_good += ng
-            yield (cls, pay4[: _round_up(o4, 256)],
-                   pay8[: _round_up(o8, 256)],
-                   pay16[: _round_up(o16, 256)], vals)
+
+            def _sl(a, used_bytes):
+                # next-power-of-two bucketing: chunk shapes stay stable
+                # across windows (bounded compile variants), bytes stay
+                # within 2x of used
+                n = max(256, 1 << (used_bytes + 1).bit_length())
+                return a[: min(n, len(a) - (len(a) & 1))]
+
+            yield (cls, _sl(pay4, -(-bits[0] // 8)),
+                   _sl(pay8, -(-bits[1] // 8)),
+                   _sl(pay16, -(-bits[2] // 8)),
+                   _sl(wid4, -(-ncol[0] // 2)),
+                   _sl(wid8, -(-ncol[1] // 2)),
+                   _sl(wid16, -(-ncol[2] // 2)), vals)
         if status == _EXPECTED_EOF:
             return
         # full window committed (status 0): drop consumed bytes and keep

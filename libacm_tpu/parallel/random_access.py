@@ -77,22 +77,21 @@ def _scan_span(data: bytes, header: AcmHeader, start_bit: int | None,
 
         w = _acquire_wire_bufs(1, max_blocks, header.level, rows)
         cls, pwr, vals = w.cls, w.pwr, w.vals
-        pay4, pay8, pay16 = w.pay4, w.pay8, w.pay16
+        pay = (w.pay4, w.pay8, w.pay16)
+        wid = (w.wid4, w.wid8, w.wid16)
     else:
-        half = (rows + 1) // 2
         ncols_cap = max_blocks * cols
+        c4, c8, c16, cw = native.pay_stream_caps(ncols_cap, rows)
         cls = np.zeros((1, max_blocks, (cols + 3) // 4), dtype=np.uint8)
         pwr = np.zeros((1, max_blocks), dtype=np.uint8)
         vals = np.zeros((1, max_blocks), dtype=np.uint16)
-        pay4 = np.zeros((ncols_cap + native.pay4_slack_rows(rows), half),
-                        dtype=np.int8)
-        pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
-        pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
-    ng, err, o4, o8, o16, oor, _events = native.scan_corpus_into(
-        data, header, cls[0], pwr[0], vals[0], pay4, pay8, pay16, 0, 0, 0,
+        pay = tuple(np.zeros(c, dtype=np.uint8) for c in (c4, c8, c16))
+        wid = tuple(np.zeros(cw, dtype=np.uint8) for _ in range(3))
+    ng, err, ncol, bits, oor, _events = native.scan_corpus_into(
+        data, header, cls[0], pwr[0], vals[0], *pay, *wid,
         _bufs(len(data)), start_bit=start_bit, bitpos_out=bitpos_out,
     )
-    return ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16, oor
+    return ng, err, cls, vals, pay, wid, ncol, bits, oor
 
 
 def build_index(data: bytes) -> BlockIndex:
@@ -105,6 +104,7 @@ def build_index(data: bytes) -> BlockIndex:
     bitpos = np.zeros(cap, dtype=np.int64)
     out = _scan_span(data, header, None, cap, bitpos)
     ng, err, oor = out[0], out[1], out[-1]
+    del out  # release the wire arrays before the bitpos copy
     return BlockIndex(header=header, bitpos=bitpos[:ng].copy(), n_good=ng,
                       first_err=err, oor=oor)
 
@@ -212,7 +212,7 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
     a0 = a - warm
     nb = b - a0
     nbp = _round_up(nb, 8)
-    ng, err, cls, vals, pay4, pay8, pay16, o4, o8, o16, _oorseg = _scan_span(
+    ng, err, cls, vals, pay, wid, ncol, bits, _oorseg = _scan_span(
         data, h, int(index.bitpos[a0]) if a0 > 0 else None, nbp,
         pooled=True,
     )
@@ -220,11 +220,18 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
     from ..ops.synth_jax import synth_pcm_cols
     from .corpus import resolve_device_backend
 
+    def _sl(arr, used_bytes):
+        n = min(_round_up(used_bytes + 2, 256), len(arr))
+        return arr[: n - (n & 1)]
+
     pcm, _ = synth_pcm_cols(
         jnp.asarray(cls),
-        jnp.asarray(pay4[: _round_up(o4, 256)]),
-        jnp.asarray(pay8[: _round_up(o8, 256)]),
-        jnp.asarray(pay16[: _round_up(o16, 256)]),
+        jnp.asarray(_sl(pay[0], -(-bits[0] // 8))),
+        jnp.asarray(_sl(pay[1], -(-bits[1] // 8))),
+        jnp.asarray(_sl(pay[2], -(-bits[2] // 8))),
+        jnp.asarray(_sl(wid[0], -(-ncol[0] // 2))),
+        jnp.asarray(_sl(wid[1], -(-ncol[1] // 2))),
+        jnp.asarray(_sl(wid[2], -(-ncol[2] // 2))),
         jnp.asarray(vals),
         jnp.zeros((1, h.wrapbuf_len), jnp.int32),
         level=h.level, rows=h.rows, batch=1, nb=nbp,

@@ -408,6 +408,87 @@ struct Nib4Sink {  // nibble-packed payload column (pre-zeroed, OR-writes)
 //: bulk writes; see above). Python-side allocators honor this.
 constexpr int PAY4_SLACK = 16;
 
+// ---------------------------------------------------------------------------
+// Exact-width wire sinks (wire format v2): each payload stream is a flat
+// LSB-first BIT stream; every nonzero column occupies rows*w bits at its
+// filler's wire width w (a static property of the filler code — linear
+// values are exactly ind bits by construction, map/packed fillers are
+// bounded by their value maps). The host↔device link is the measured
+// bottleneck of the corpus pipeline on this hardware; shipping exact
+// widths instead of byte-aligned classes cuts the wire ~25% and spends
+// (abundant) device gather compute instead.
+
+// Wire bit width of a nonzero filler's coefficients.
+inline int wire_width_of(int ind) {
+  if (ind >= 3 && ind <= 16) return ind;      // linear: b - 2^(ind-1)
+  if (ind <= 19) return 2;                    // k13, k12, t15: -1..1
+  if (ind <= 22) return 3;                    // k24, k23, t27: -2..2
+  if (ind <= 24) return 3;                    // k35, k34: -3..3
+  return 4;                                   // k45, k44, t37: -4..5
+}
+
+// Random-access bit writer: value i lands at base + i*w. Requires the
+// column's bit region pre-zeroed (writes OR) and 16 bytes of tail slack.
+struct BitPackSink {
+  uint8_t* buf;
+  int64_t base;
+  int w;
+  inline void put(int i, int v) {
+    int64_t bit = base + static_cast<int64_t>(i) * w;
+    uint8_t* p = buf + (bit >> 3);
+    uint32_t m;  // 4-byte RMW: w + 7 <= 23 bits
+    std::memcpy(&m, p, 4);
+    m |= (static_cast<uint32_t>(v) & ((1u << w) - 1)) << (bit & 7);
+    std::memcpy(p, &m, 4);
+  }
+  inline void put_packed(int i, uint64_t pk) {  // <= 64 payload bits
+    int64_t bit = base + static_cast<int64_t>(i) * w;
+    uint8_t* p = buf + (bit >> 3);
+    int sh = bit & 7;
+    uint64_t lo;
+    std::memcpy(&lo, p, 8);
+    lo |= pk << sh;
+    std::memcpy(p, &lo, 8);
+    if (sh) p[8] = static_cast<uint8_t>(p[8] | (pk >> (64 - sh)));
+  }
+};
+
+// Sequential bit writer for dense (every-row) columns: overwrites whole
+// bytes through a local accumulator — no pre-zeroing, no RMW in the loop.
+struct BitStreamSink {
+  uint8_t* ptr;
+  uint64_t acc;
+  int nacc;
+  int w;
+  static BitStreamSink at(uint8_t* buf, int64_t base, int w) {
+    uint8_t* p = buf + (base >> 3);
+    int n = static_cast<int>(base & 7);
+    return BitStreamSink{p, static_cast<uint64_t>(*p) & ((1u << n) - 1), n,
+                         w};
+  }
+  inline void put(int /*i*/, int v) {
+    acc |= (static_cast<uint64_t>(static_cast<uint32_t>(v))
+            & ((1u << w) - 1)) << nacc;
+    nacc += w;
+    if (nacc >= 32) {
+      uint32_t out = static_cast<uint32_t>(acc);
+      std::memcpy(ptr, &out, 4);
+      ptr += 4;
+      acc >>= 32;
+      nacc -= 32;
+    }
+  }
+  inline void flush() {  // final partial bytes, high bits zero
+    while (nacc > 0) {
+      *ptr++ = static_cast<uint8_t>(acc);
+      acc >>= 8;
+      nacc -= 8;
+    }
+  }
+};
+
+struct MapLutEntry;  // fwd (bulk-apply dispatch below)
+
 // Generic bulk-nibble fallback: unpack 4-bit two's complement and put().
 template <typename Sink>
 inline void put_nibs_generic(Sink& s, int i, uint64_t nibs, int n) {
@@ -415,16 +496,6 @@ inline void put_nibs_generic(Sink& s, int i, uint64_t nibs, int n) {
     int v = static_cast<int>((nibs >> (4 * j)) & 0xF);
     if (v) s.put(i + j, (v ^ 8) - 8);  // pre-zeroed dst: zeros are free
   }
-}
-
-template <typename Sink>
-inline void sink_put_nibs(Sink& s, int i, uint64_t nibs, int n) {
-  put_nibs_generic(s, i, nibs, n);
-}
-template <>
-inline void sink_put_nibs<Nib4Sink>(Nib4Sink& s, int i, uint64_t nibs,
-                                    int n) {
-  s.put_nibs(i, nibs, n);
 }
 
 // One grammar step for the map/packed fillers (<= 7 bits). CHECKED uses
@@ -567,9 +638,25 @@ inline int one_step(BitReader& b, int ind, int rows, int& i, Sink& s) {
 // from the grammar.
 struct MapLutEntry {
   uint64_t nibs;  // values as 4-bit two's complement at their row offsets
+  uint64_t packw;  // same values packed at the filler's WIRE width
   uint8_t nbits;  // bits consumed by the complete symbols (>= 1)
   uint8_t nrows;  // rows produced (<= 17: a final two-zero may overhang)
 };
+
+template <typename Sink>
+inline void sink_apply_lut(Sink& s, int i, const MapLutEntry& e) {
+  put_nibs_generic(s, i, e.nibs, e.nrows);
+}
+template <>
+inline void sink_apply_lut<Nib4Sink>(Nib4Sink& s, int i,
+                                     const MapLutEntry& e) {
+  s.put_nibs(i, e.nibs, e.nrows);
+}
+template <>
+inline void sink_apply_lut<BitPackSink>(BitPackSink& s, int i,
+                                        const MapLutEntry& e) {
+  s.put_packed(i, e.packw);
+}
 
 struct MapLut {
   MapLutEntry e[8][256];
@@ -601,8 +688,18 @@ struct MapLut {
           if (rc != 0) { b = saved; break; }
           good_bits = b.consumed_bits();
         }
+        // repack the nibble values at the filler's wire width (values at
+        // rows <= 15 only, so nrows*w <= 64 always holds)
+        const int w = wire_width_of(FILLERS[f]);
+        uint64_t packw = 0;
+        for (int j = 0; j < 16; j++) {
+          uint64_t v = (s.nibs >> (4 * j)) & 0xF;
+          int sv = (static_cast<int>(v) ^ 8) - 8;
+          packw |= (static_cast<uint64_t>(sv) & ((1u << w) - 1)) << (j * w);
+        }
         e[f][pat] = MapLutEntry{
-            s.nibs, static_cast<uint8_t>(good_bits > 0 ? good_bits : 0),
+            s.nibs, packw,
+            static_cast<uint8_t>(good_bits > 0 ? good_bits : 0),
             static_cast<uint8_t>(i)};
       }
     }
@@ -628,7 +725,7 @@ inline int decode_map_col(BitReader& b, int slot, int ind, int rows,
     }
     const MapLutEntry& e = lut[static_cast<uint32_t>(b.res) & 0xFF];
     if (i + e.nrows <= rows) {
-      if (e.nibs) sink_put_nibs(s, i, e.nibs, e.nrows);
+      if (e.nibs) sink_apply_lut(s, i, e);
       b.res >>= e.nbits;
       b.avail -= e.nbits;
       i += e.nrows;
@@ -1133,98 +1230,117 @@ struct SynthEmitter {
   void rollback_block() {}
 };
 
-// Packed wire format: per column a 2-bit class code {0:zero, 1:4-bit,
-// 2:8-bit, 3:16-bit} chosen from the filler code (four codes per byte,
-// LSB pair first, (cols+3)/4 bytes per block); payloads are
-// column-contiguous (4-bit: two rows per byte, odd row padded with a zero
-// nibble).
+// Packed wire format (v2, exact-width): per column a 2-bit class code
+// {0: zero, 1: w<=4, 2: w in 5..8, 3: w in 9..16} chosen from the filler
+// code (four codes per byte, LSB pair first, (cols+3)/4 bytes per
+// block). Each class has a flat LSB-first BIT stream in which a nonzero
+// column occupies rows*w bits (w = wire_width_of(filler) — two's
+// complement), plus a width-nibble stream storing w-1 per column (two
+// columns per byte, LSB nibble first). The device unpack derives each
+// column's bit offset from an exclusive cumsum of rows*w and gathers
+// 16-bit windows (ops/packing.py).
 struct PackedEmitter {
   uint8_t* cls_out;      // [max_blocks * ceil(cols/4)] 2-bit packed
-  int8_t* pay4;          // nibble stream, ceil(rows/2) bytes per column
-  int8_t* pay8;          // rows bytes per column
-  int16_t* pay16;        // rows int16 per column
+  uint8_t* pay[3];       // bit streams per class family (4/8/16)
+  uint8_t* wid[3];       // width nibbles (w-1), 2 per byte
   uint8_t* pwr_out;
   uint16_t* val_out;
   int rows, cols;
   int64_t nb = 0;
-  int64_t n4 = 0, n8 = 0, n16 = 0;       // columns per class
-  int64_t s4 = 0, s8 = 0, s16 = 0;       // block-start snapshots
+  int64_t bits[3] = {0, 0, 0};    // stream bit cursors
+  int64_t ncol[3] = {0, 0, 0};    // columns per class
+  int64_t sbits[3] = {0, 0, 0};   // block-start snapshots
+  int64_t sncol[3] = {0, 0, 0};
 
   int cls_stride() const { return (cols + 3) / 4; }
 
   void begin_block() {
-    s4 = n4; s8 = n8; s16 = n16;
+    for (int k = 0; k < 3; k++) { sbits[k] = bits[k]; sncol[k] = ncol[k]; }
     std::memset(cls_out + nb * cls_stride(), 0, cls_stride());
   }
   void table_update(uint32_t, uint32_t) {}  // ships indexes, not values
-  // Width class from the FILLER CODE, not the observed range: every
-  // non-linear filler emits |k| <= 5 (4-bit nibbles), and linear widths
-  // map directly (3-4 -> 4-bit exactly, 5-8 -> 8-bit, 9-16 -> 16-bit) —
-  // no min/max pass. Minimal-width encoders (ours included) pick the
-  // narrowest covering filler, so the wire is the same size as
-  // range-classification except for rare boundary columns; the unpack
-  // gather is class-map-driven either way, so this is purely a scan-side
-  // choice.
+  // Class family from the FILLER CODE, not the observed range: every
+  // non-linear filler fits 4 bits and linear widths map directly. The
+  // wire width is likewise static per filler, so no min/max pass runs.
   static inline uint8_t class_of(int ind) {
     if (ind >= 9 && ind <= 16) return 3;
     if (ind >= 5 && ind <= 8) return 2;
     return 1;
   }
-  void emit_column(int c, int ind, const int16_t* col) {
-    uint8_t code = class_of(ind);
-    if (code == 1) {
-      int8_t* dst = pay4 + n4 * ((rows + 1) / 2);
-      for (int i = 0; i < rows; i += 2) {
-        int lo = col[i] & 0xF;
-        int hi = (i + 1 < rows ? col[i + 1] : 0) & 0xF;
-        dst[i / 2] = static_cast<int8_t>(lo | (hi << 4));
-      }
-      n4++;
-    } else if (code == 2) {
-      int8_t* dst = pay8 + n8 * rows;
-      for (int i = 0; i < rows; i++) dst[i] = static_cast<int8_t>(col[i]);
-      n8++;
-    } else {
-      std::memcpy(pay16 + n16 * rows, col, rows * sizeof(int16_t));
-      n16++;
-    }
-    cls_out[nb * cls_stride() + (c >> 2)] |=
-        code << ((c & 3) * 2);
+
+  // Reserve this column's bit region for OR-writes: clear the shared
+  // frontier byte's high bits (they may hold a rolled-back attempt's
+  // garbage) and zero the rest of the region. OR-writers only ever set
+  // zeros beyond the region, so the next column's reserve is what clears
+  // pool-stale bytes there.
+  inline uint8_t* reserve(int ci, int w) {
+    uint8_t* buf = pay[ci];
+    int64_t base = bits[ci];
+    buf[base >> 3] &= (1u << (base & 7)) - 1;
+    int64_t first = (base >> 3) + 1;
+    int64_t last = (base + static_cast<int64_t>(rows) * w + 7) >> 3;
+    if (last > first) std::memset(buf + first, 0, last - first);
+    return buf;
   }
-  // Fast path: decode straight into the wire payload streams (the packed
-  // form IS the destination — no col_tmp staging, no repack pass).
-  // Counters advance and class bits are set only on success, so a failed
-  // column needs no extra rollback (the partial payload writes sit past
-  // the committed counters and are never observed).
+
+  inline void commit_col(int c, int ci, int w, uint8_t code) {
+    bits[ci] += static_cast<int64_t>(rows) * w;
+    int64_t n = ncol[ci]++;
+    uint8_t wn = static_cast<uint8_t>(w - 1);
+    uint8_t* wp = wid[ci] + (n >> 1);
+    // even index overwrites the byte (pool bytes are stale); odd index
+    // replaces only the high nibble (a rolled-back write may linger)
+    *wp = (n & 1) ? static_cast<uint8_t>((*wp & 0x0F) | (wn << 4)) : wn;
+    cls_out[nb * cls_stride() + (c >> 2)] |= code << ((c & 3) * 2);
+  }
+
+  // Fast path: decode straight into the exact-width wire bit streams (no
+  // col_tmp staging, no repack pass). Counters advance and class bits
+  // are set only on success, so a failed column needs no extra rollback.
   bool emit_direct(BitReader& b, int c, int ind, uint32_t pwr, int* out) {
     if (possible_oor(ind, pwr)) return false;
-    uint8_t code = class_of(ind);
+    const uint8_t code = class_of(ind);
+    const int ci = code - 1;
+    const int w = wire_width_of(ind);
     int rc;
-    if (code == 1) {
-      const int half = (rows + 1) / 2;
-      uint8_t* dst = reinterpret_cast<uint8_t*>(pay4 + n4 * half);
-      std::memset(dst, 0, half);
-      rc = decode_col_sink(b, ind, rows, Nib4Sink{dst});
-      if (rc == 0) n4++;
-    } else if (code == 2) {
-      rc = decode_col_sink(b, ind, rows, Pay8Sink{pay8 + n8 * rows});
-      if (rc == 0) n8++;
+    if (ind >= 3 && ind <= 16) {
+      // linear: every row written in order — stream whole bytes
+      auto s = BitStreamSink::at(pay[ci], bits[ci], w);
+      rc = decode_linear_col(b, ind, rows, s);
+      if (rc == 0) s.flush();
     } else {
-      rc = decode_col_sink(b, ind, rows, Pay16Sink{pay16 + n16 * rows});
-      if (rc == 0) n16++;
+      reserve(ci, w);
+      BitPackSink s{pay[ci], bits[ci], w};
+      int slot = MAP_LUT.slot[ind & 31];
+      rc = slot >= 0 ? decode_map_col(b, slot, ind, rows, s)
+                     : decode_trip_col(b, ind, rows, s);
     }
-    if (rc == 0)
-      cls_out[nb * cls_stride() + (c >> 2)] |= code << ((c & 3) * 2);
+    if (rc == 0) commit_col(c, ci, w, code);
     *out = rc;
     return true;
   }
+
+  // Staged path (possible out-of-range indexes: the driver range-checks
+  // col values first). The wire width is a property of the filler, so
+  // even out-of-range table indexes fit their column's width.
+  void emit_column(int c, int ind, const int16_t* col) {
+    const uint8_t code = class_of(ind);
+    const int ci = code - 1;
+    const int w = wire_width_of(ind);
+    uint8_t* buf = reserve(ci, w);
+    BitPackSink s{buf, bits[ci], w};
+    for (int i = 0; i < rows; i++)
+      if (col[i]) s.put(i, col[i]);
+    commit_col(c, ci, w, code);
+  }
+
   void commit_block(uint32_t pwr, uint32_t val, bool /*oor*/) {
     pwr_out[nb] = static_cast<uint8_t>(pwr);
     val_out[nb] = static_cast<uint16_t>(val);
     nb++;
   }
   void rollback_block() {
-    n4 = s4; n8 = s8; n16 = s16;
+    for (int k = 0; k < 3; k++) { bits[k] = sbits[k]; ncol[k] = sncol[k]; }
     // the failed attempt may have written class codes for its early
     // columns; zero them so downstream cumsum positions stay aligned
     // with the rolled-back payload streams
@@ -1256,39 +1372,42 @@ int64_t acm_scan_blocks(const uint8_t* data, int64_t nbytes,
                      max_events, events_out, tell_out, meta, col_tmp, em);
 }
 
-// Packed scan (corpus wire path). cls [max_blocks*cols] is NOT pre-zeroed
-// for uncommitted blocks — callers use meta[0] blocks only. Payload
-// capacities: pay4 >= max_blocks*cols*ceil(rows/2), pay8 >=
-// max_blocks*cols*rows, pay16 >= max_blocks*cols*rows (int16).
-// meta: [0..4] as dense, [5]=n4 cols, [6]=n8, [7]=n16.
+// Packed scan (corpus wire path, v2 exact-width). cls [max_blocks*cols]
+// is NOT pre-zeroed for uncommitted blocks — callers use meta[0] blocks
+// only. Payload BIT-stream capacities (bytes, +16 slack each): pay4 >=
+// max_blocks*cols*rows*4/8, pay8 >= *8/8, pay16 >= *16/8; width-nibble
+// streams wid* >= ceil(max_blocks*cols/2).
+// meta: [0..4] as dense, [5..7] = columns per class, [12..14] = stream
+// bit cursors.
 int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
                                int64_t skip_bits, int32_t level, int32_t rows,
                                int64_t max_blocks, int64_t max_events,
-                               uint8_t* cls_out, int8_t* pay4, int8_t* pay8,
-                               int16_t* pay16, uint8_t* pwr_out,
+                               uint8_t* cls_out, uint8_t* pay4, uint8_t* pay8,
+                               uint8_t* pay16, uint8_t* wid4, uint8_t* wid8,
+                               uint8_t* wid16, uint8_t* pwr_out,
                                uint16_t* val_out, int16_t* events_out,
                                int64_t* tell_out, int16_t* col_tmp,
                                int64_t* meta) {
   const int cols = 1 << level;
-  PackedEmitter em{cls_out, pay4, pay8, pay16, pwr_out, val_out, rows, cols};
+  PackedEmitter em{cls_out, {pay4, pay8, pay16}, {wid4, wid8, wid16},
+                   pwr_out, val_out, rows, cols};
   int64_t rc = scan_driver(data, nbytes, skip_bits, level, rows, cols,
                            max_blocks, max_events, events_out, tell_out, meta,
                            col_tmp, em);
-  meta[5] = em.n4;
-  meta[6] = em.n8;
-  meta[7] = em.n16;
+  for (int k = 0; k < 3; k++) {
+    meta[5 + k] = em.ncol[k];
+    meta[12 + k] = em.bits[k];
+  }
   return rc;
 }
 
-// Zero-copy corpus scan: writes straight into caller-owned CHUNK buffers.
-// cls_out / pwr_out / val_out point at this file's slots within the chunk
-// arrays; payload pointers are the shared chunk streams with this file's
-// columns appended starting at offsets off4/off8/off16 (absolute counters
-// returned in meta[5..7]). Scanning continues past failed decode attempts
-// (the reference's acm_read does too, decode.c:840-846; the CLI's stop
-// position is derived from the event list by the corpus layer). The first
-// error code lands in meta[8] (0 = clean). Payload capacity is the
-// caller's concern.
+// Zero-copy corpus scan: writes straight into caller-owned wire buffers
+// (v2 exact-width streams; always starts at stream offset 0 of each
+// buffer — multi-file continuity lives in acm_scan_corpus_chunk).
+// Scanning continues past failed decode attempts (the reference's
+// acm_read does too, decode.c:840-846; the CLI's stop position is
+// derived from the event list by the corpus layer). The first error code
+// lands in meta[8] (0 = clean).
 // `skip_bits` is the absolute consumed-bit offset to start at (the header
 // length for a whole-file scan, or a BlockIndex entry for random access).
 // bitpos_out (nullable, [max_blocks]) receives each committed block's
@@ -1300,28 +1419,24 @@ int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
 int64_t acm_scan_corpus_into(const uint8_t* data, int64_t nbytes,
                              int64_t skip_bits, int32_t level, int32_t rows,
                              int64_t max_blocks, uint8_t* cls_out,
-                             int8_t* pay4, int8_t* pay8, int16_t* pay16,
-                             int64_t off4, int64_t off8, int64_t off16,
+                             uint8_t* pay4, uint8_t* pay8, uint8_t* pay16,
+                             uint8_t* wid4, uint8_t* wid8, uint8_t* wid16,
                              uint8_t* pwr_out, uint16_t* val_out,
                              int16_t* events_scratch, int64_t* tell_scratch,
                              int64_t max_events, int16_t* col_tmp,
                              int64_t* meta, int64_t* bitpos_out,
                              int32_t final_data) {
   const int cols = 1 << level;
-  PackedEmitter em{cls_out, pay4, pay8, pay16, pwr_out, val_out, rows, cols};
-  em.n4 = off4;
-  em.n8 = off8;
-  em.n16 = off16;
-  em.s4 = off4;
-  em.s8 = off8;
-  em.s16 = off16;
+  PackedEmitter em{cls_out, {pay4, pay8, pay16}, {wid4, wid8, wid16},
+                   pwr_out, val_out, rows, cols};
   int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
       data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
       events_scratch, tell_scratch, meta, col_tmp, em,
       /*stop_on_error=*/false, bitpos_out, /*final_data=*/final_data != 0);
-  meta[5] = em.n4;
-  meta[6] = em.n8;
-  meta[7] = em.n16;
+  for (int k = 0; k < 3; k++) {
+    meta[5 + k] = em.ncol[k];
+    meta[12 + k] = em.bits[k];
+  }
   meta[8] = 0;
   for (int64_t i = 0; i < meta[1]; i++) {
     if (events_scratch[i] != 0) {
@@ -1350,40 +1465,40 @@ int64_t acm_scan_corpus_chunk(
     const uint8_t* blob, const int64_t* off, const int64_t* lens,
     const int64_t* skip_bits, const int64_t* max_blocks, int64_t n_files,
     int32_t level, int32_t rows, int64_t nb_stride, int64_t cls_stride,
-    uint8_t* cls_out, int8_t* pay4, int8_t* pay8, int16_t* pay16,
+    uint8_t* cls_out, uint8_t* pay4, uint8_t* pay8, uint8_t* pay16,
+    uint8_t* wid4, uint8_t* wid8, uint8_t* wid16,
     uint8_t* pwr_out, uint16_t* val_out, int16_t* events_scratch,
     int64_t* tell_scratch, int64_t max_events, int64_t ev_cap,
     int16_t* events_out, int16_t* col_tmp, int64_t* meta, int64_t* out) {
   const int cols = 1 << level;
-  int64_t o4 = 0, o8 = 0, o16 = 0;
+  int64_t obits[3] = {0, 0, 0};
+  int64_t ocol[3] = {0, 0, 0};
   for (int64_t j = 0; j < n_files; j++) {
     if (lens[j] <= 0) {  // vanished/empty file: slot stays zeroed
-      out[j * 5 + 0] = 0;
-      out[j * 5 + 1] = 0;
-      out[j * 5 + 2] = 0;
-      out[j * 5 + 3] = 0;
-      out[j * 5 + 4] = 0;
+      for (int k = 0; k < 5; k++) out[j * 5 + k] = 0;
       continue;
     }
-    PackedEmitter em{cls_out + j * cls_stride, pay4, pay8, pay16,
+    PackedEmitter em{cls_out + j * cls_stride, {pay4, pay8, pay16},
+                     {wid4, wid8, wid16},
                      pwr_out + j * nb_stride, val_out + j * nb_stride,
                      rows, cols};
-    em.n4 = o4;
-    em.n8 = o8;
-    em.n16 = o16;
-    em.s4 = o4;
-    em.s8 = o8;
-    em.s16 = o16;
-    int64_t fmeta[12] = {0};
+    for (int k = 0; k < 3; k++) {
+      em.bits[k] = obits[k];
+      em.ncol[k] = ocol[k];
+      em.sbits[k] = obits[k];
+      em.sncol[k] = ocol[k];
+    }
+    int64_t fmeta[16] = {0};
     int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
         blob + off[j], lens[j], skip_bits[j], level, rows, cols,
         max_blocks[j], max_events, events_scratch, tell_scratch, fmeta,
         col_tmp, em, /*stop_on_error=*/false);
     if (rc != 0) return -(j + 1);  // event capacity exceeded (can't happen
                                    // with the documented bound)
-    o4 = em.n4;
-    o8 = em.n8;
-    o16 = em.n16;
+    for (int k = 0; k < 3; k++) {
+      obits[k] = em.bits[k];
+      ocol[k] = em.ncol[k];
+    }
     int64_t n_events = fmeta[1];
     int64_t first_err = 0;
     for (int64_t i = 0; i < n_events; i++) {
@@ -1401,9 +1516,10 @@ int64_t acm_scan_corpus_chunk(
       std::memcpy(events_out + j * ev_cap, events_scratch,
                   n_events * sizeof(int16_t));
   }
-  meta[5] = o4;
-  meta[6] = o8;
-  meta[7] = o16;
+  for (int k = 0; k < 3; k++) {
+    meta[5 + k] = ocol[k];
+    meta[12 + k] = obits[k];
+  }
   return 0;
 }
 

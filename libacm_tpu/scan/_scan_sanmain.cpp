@@ -17,14 +17,16 @@ int64_t acm_scan_blocks(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
                         int64_t, int64_t, int16_t*, uint8_t*, uint16_t*,
                         int16_t*, int64_t*, int16_t*, int64_t*);
 int64_t acm_scan_blocks_packed(const uint8_t*, int64_t, int64_t, int32_t,
-                               int32_t, int64_t, int64_t, uint8_t*, int8_t*,
-                               int8_t*, int16_t*, uint8_t*, uint16_t*,
+                               int32_t, int64_t, int64_t, uint8_t*, uint8_t*,
+                               uint8_t*, uint8_t*, uint8_t*, uint8_t*,
+                               uint8_t*, uint8_t*, uint16_t*,
                                int16_t*, int64_t*, int16_t*, int64_t*);
 int64_t acm_scan_corpus_into(const uint8_t*, int64_t, int64_t, int32_t,
-                             int32_t, int64_t, uint8_t*, int8_t*, int8_t*,
-                             int16_t*, int64_t, int64_t, int64_t, uint8_t*,
-                             uint16_t*, int16_t*, int64_t*, int64_t,
-                             int16_t*, int64_t*, int64_t*);
+                             int32_t, int64_t, uint8_t*, uint8_t*, uint8_t*,
+                             uint8_t*, uint8_t*, uint8_t*, uint8_t*,
+                             uint8_t*, uint16_t*, int16_t*, int64_t*,
+                             int64_t, int16_t*, int64_t*, int64_t*,
+                             int32_t);
 int64_t acm_decode_host(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
                         int64_t, int64_t, int16_t*, uint32_t*, int16_t*,
                         int64_t*, int16_t*, int16_t*, uint32_t*, uint32_t*,
@@ -59,22 +61,28 @@ int main(int argc, char** argv) {
   std::vector<int16_t> k(maxb * rows * cols), col(rows), ev(maxev);
   std::vector<uint8_t> pwr(maxb), cls(ncols);
   std::vector<uint16_t> val(maxb);
-  std::vector<int64_t> tell(maxev), meta(12);
-  std::vector<int8_t> p4(ncols * half), p8(ncols * rows);
-  std::vector<int16_t> p16(ncols * rows);
+  std::vector<int64_t> tell(maxev), meta(16);
+  // v2 exact-width wire: byte capacities + 16-byte bulk-write slack
+  std::vector<uint8_t> p4(ncols * rows / 2 + 32), p8(ncols * rows + 32);
+  std::vector<uint8_t> p16(ncols * rows * 2 + 32);
+  std::vector<uint8_t> w4(ncols / 2 + 8), w8(ncols / 2 + 8),
+      w16(ncols / 2 + 8);
+  (void)half;
 
   acm_scan_blocks(data.data(), n, skip, level, rows, maxb, maxev, k.data(),
                   pwr.data(), val.data(), ev.data(), tell.data(), col.data(),
                   meta.data());
   acm_scan_blocks_packed(data.data(), n, skip, level, rows, maxb, maxev,
                          cls.data(), p4.data(), p8.data(), p16.data(),
+                         w4.data(), w8.data(), w16.data(),
                          pwr.data(), val.data(), ev.data(), tell.data(),
                          col.data(), meta.data());
   std::vector<int64_t> bitpos(maxb);
   acm_scan_corpus_into(data.data(), n, skip, level, rows, maxb, cls.data(),
-                       p4.data(), p8.data(), p16.data(), 0, 0, 0, pwr.data(),
+                       p4.data(), p8.data(), p16.data(), w4.data(),
+                       w8.data(), w16.data(), pwr.data(),
                        val.data(), ev.data(), tell.data(), maxev, col.data(),
-                       meta.data(), bitpos.data());
+                       meta.data(), bitpos.data(), /*final=*/1);
   std::vector<int16_t> pcm(maxb * rows * cols), kbuf(rows * cols);
   std::vector<uint32_t> wrap(2 * cols), xb(rows * cols + cols), yb(rows * cols + cols);
   std::vector<uint32_t> tblv(17);

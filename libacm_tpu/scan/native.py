@@ -174,17 +174,17 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     fc = lib.acm_scan_corpus_into
     fc.restype = ctypes.c_int64
     fc.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint8),  # cls slot
-        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
-        ctypes.POINTER(ctypes.c_int16),  # pay4, pay8, pay16 (chunk streams)
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # off4/8/16
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        u8p,  # cls slot
+        u8p, u8p, u8p,  # pay4/8/16 bit streams
+        u8p, u8p, u8p,  # wid4/8/16 width-nibble streams
+        u8p, ctypes.POINTER(ctypes.c_uint16),  # pwr, val
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -198,10 +198,10 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,  # ...max_blocks, n
         ctypes.c_int32, ctypes.c_int32,  # level, rows
         ctypes.c_int64, ctypes.c_int64,  # nb_stride, cls_stride
-        ctypes.POINTER(ctypes.c_uint8),  # cls
-        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
-        ctypes.POINTER(ctypes.c_int16),  # pay4, pay8, pay16
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        u8p,  # cls
+        u8p, u8p, u8p,  # pay4/8/16 bit streams
+        u8p, u8p, u8p,  # wid4/8/16 width-nibble streams
+        u8p, ctypes.POINTER(ctypes.c_uint16),  # pwr, val
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64,  # max_events, ev_cap
         ctypes.POINTER(ctypes.c_int16),  # events_out
@@ -245,9 +245,9 @@ def _bind(lib):
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint8),  # cls
-        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
-        ctypes.POINTER(ctypes.c_int16),  # pay4, pay8, pay16
+        u8p,  # cls
+        u8p, u8p, u8p,  # pay4/8/16 bit streams
+        u8p, u8p, u8p,  # wid4/8/16 width-nibble streams
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
@@ -295,7 +295,7 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
-    meta = np.zeros(12, dtype=np.int64)
+    meta = np.zeros(16, dtype=np.int64)
 
     rc = lib.acm_scan_blocks(
         data, len(data), skip_bits, header.level, rows,
@@ -328,43 +328,65 @@ def scan_bytes(data: bytes, max_blocks: int | None = None) -> ScanResult:
 
 @dataclasses.dataclass
 class PackedScan:
-    """Wire-format scan output: per-column width classes + packed payloads.
+    """Wire-format (v2, exact-width) scan output.
 
-    Class codes per (block, column): 0 all-zero, 1 four-bit (two rows per
-    byte, LSB nibble first, odd row padded), 2 eight-bit, 3 sixteen-bit.
-    Payloads are column-contiguous in (block, column) scan order.
+    Class codes per (block, column): 0 all-zero, 1 width <= 4, 2 width
+    5..8, 3 width 9..16 — the family is a static property of the filler
+    code. Each family has a flat LSB-first BIT stream (`pay*`) where a
+    nonzero column occupies rows*w bits (two's-complement values at the
+    filler's wire width w), plus a width-nibble stream (`wid*`, w-1 per
+    column, two per byte). Columns appear in (block, column) scan order.
     """
 
     header: AcmHeader
     n_blocks: int
-    cls: np.ndarray  # uint8 [n_blocks, cols]
-    pay4: np.ndarray  # int8 [n4, ceil(rows/2)]
-    pay8: np.ndarray  # int8 [n8, rows]
-    pay16: np.ndarray  # int16 [n16, rows]
+    cls: np.ndarray  # uint8 [n_blocks, cols] (unpacked codes)
+    pay4: np.ndarray  # uint8 bit stream (class-1 columns)
+    pay8: np.ndarray  # uint8 bit stream (class-2 columns)
+    pay16: np.ndarray  # uint8 bit stream (class-3 columns)
+    wid4: np.ndarray  # uint8 width nibbles
+    wid8: np.ndarray
+    wid16: np.ndarray
     pwr: np.ndarray  # uint8 [n_blocks]
     val: np.ndarray  # uint16 [n_blocks]
     events: np.ndarray
     status: int
+    #: columns per class and used bits per stream
+    n_cols: tuple[int, int, int] = (0, 0, 0)
+    bits: tuple[int, int, int] = (0, 0, 0)
     #: stream contains out-of-range coefficient indexes (stale-amp-table
     #: semantics apply; synthesis from k*val alone is NOT bit-exact)
     oor: bool = False
 
     @property
     def wire_bytes(self) -> int:
-        return (self.cls.nbytes + self.pay4.nbytes + self.pay8.nbytes
-                + self.pay16.nbytes + self.val.nbytes)
+        # cls ships 2-bit packed on the real wire
+        return (-(-self.cls.size // 4) + self.pay4.nbytes + self.pay8.nbytes
+                + self.pay16.nbytes + self.wid4.nbytes + self.wid8.nbytes
+                + self.wid16.nbytes + self.val.nbytes)
 
 
-#: Writable slack (bytes) every pay4 buffer needs past its last column:
-#: the scanner's bulk nibble writes (Nib4Sink in _scan.cpp) OR up to 9
-#: bytes at once and may overhang the current column's region.
-PAY4_SLACK = 16
+#: Writable tail slack (bytes) every payload BIT stream needs: the
+#: scanner's bulk writes OR up to 9 bytes at once past the current
+#: column, and the device unpack gathers 16-bit windows that may touch 2
+#: bytes past the last used bit.
+PAY_SLACK = 16
 
 
-def pay4_slack_rows(rows: int) -> int:
-    """Extra [ceil(rows/2)]-byte rows a pay4 pool needs for PAY4_SLACK."""
-    half = max((rows + 1) // 2, 1)
-    return -(-PAY4_SLACK // half)
+def _even(n: int) -> int:
+    return n + (n & 1)
+
+
+def pay_stream_caps(ncols_cap: int, rows: int) -> tuple[int, int, int, int]:
+    """(pay4, pay8, pay16, wid) byte capacities for ncols_cap columns.
+
+    All even: the device unpack views the streams as uint16 pairs."""
+    def cap(bits: int) -> int:
+        n = -(-bits // 8) + PAY_SLACK
+        return n + (n & 1)
+
+    return (cap(ncols_cap * rows * 4), cap(ncols_cap * rows * 8),
+            cap(ncols_cap * rows * 16), -(-ncols_cap // 2) + 8)
 
 
 def unpack_cls(packed: np.ndarray, cols: int) -> np.ndarray:
@@ -382,7 +404,7 @@ class CorpusScanBuffers:
                                dtype=np.int16)
         self.tell = np.zeros_like(self.events, dtype=np.int64)
         self.col = np.zeros(max_rows, dtype=np.int16)
-        self.meta = np.zeros(12, dtype=np.int64)
+        self.meta = np.zeros(16, dtype=np.int64)
 
     def fits(self, nbytes: int) -> bool:
         return (8 * (nbytes + 1)) // 20 + 4 <= len(self.events)
@@ -391,25 +413,27 @@ class CorpusScanBuffers:
 def scan_corpus_into(
     data: bytes,
     header: AcmHeader,
-    cls_slot: np.ndarray,  # uint8 [nb, cols] — this file's chunk slot
+    cls_slot: np.ndarray,  # uint8 [nb, ceil(cols/4)] — this file's slot
     pwr_slot: np.ndarray,  # uint8 [nb]
     val_slot: np.ndarray,  # uint16 [nb]
-    pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,  # chunk streams
-    off4: int, off8: int, off16: int,
+    pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,  # uint8 streams
+    wid4: np.ndarray, wid8: np.ndarray, wid16: np.ndarray,  # uint8 nibbles
     bufs: CorpusScanBuffers,
     start_bit: int | None = None,
     bitpos_out: np.ndarray | None = None,  # int64 [nb]: per-block bit offset
     final: bool = True,
     max_blocks: int | None = None,
-) -> tuple[int, int, int, int, int, bool]:
-    """Zero-copy corpus scan of one file into chunk buffers.
+) -> tuple[int, int, tuple[int, int, int], tuple[int, int, int], bool,
+           np.ndarray]:
+    """Zero-copy corpus scan of one file into v2 wire buffers.
 
-    Returns (n_good_blocks, first_err, new_off4, new_off8, new_off16, oor,
-    events). `oor` signals out-of-range coefficient indexes (stale-amp-table
-    semantics; callers must fall back to the oracle for exactness). `events`
-    is the per-attempt outcome array (0 = good block, negative = error):
-    the C scan runs with stop_on_error=false, deliberately continuing past
-    failed decode attempts so cli_stop_words can model the reference CLI's
+    Returns (n_good_blocks, first_err, n_cols (per class), bits (per
+    class stream), oor, events). `oor` signals out-of-range coefficient
+    indexes (stale-amp-table semantics; callers must fall back to the
+    oracle for exactness). `events` is the per-attempt outcome array
+    (0 = good block, negative = error): the C scan runs with
+    stop_on_error=false, deliberately continuing past failed decode
+    attempts so cli_stop_words can model the reference CLI's
     error-swallowing read loop; `n_good_blocks` counts only committed
     blocks. `start_bit` overrides the default header-skip start (random
     access via a BlockIndex entry); `bitpos_out` collects the index on a
@@ -431,9 +455,11 @@ def scan_corpus_into(
     rc = lib.acm_scan_corpus_into(
         ctypes.cast(_ptr(dview, ctypes.c_uint8), ctypes.c_char_p),
         len(dview), start_bit, header.level, header.rows, max_blocks,
-        _ptr(cls_slot, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
-        _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
-        off4, off8, off16,
+        _ptr(cls_slot, ctypes.c_uint8),
+        _ptr(pay4, ctypes.c_uint8), _ptr(pay8, ctypes.c_uint8),
+        _ptr(pay16, ctypes.c_uint8),
+        _ptr(wid4, ctypes.c_uint8), _ptr(wid8, ctypes.c_uint8),
+        _ptr(wid16, ctypes.c_uint8),
         _ptr(pwr_slot, ctypes.c_uint8), _ptr(val_slot, ctypes.c_uint16),
         _ptr(bufs.events, ctypes.c_int16), _ptr(bufs.tell, ctypes.c_int64),
         len(bufs.events), _ptr(bufs.col, ctypes.c_int16),
@@ -444,7 +470,9 @@ def scan_corpus_into(
     if rc != 0:
         raise RuntimeError("corpus scan: event capacity exceeded")
     m = bufs.meta
-    return (int(m[0]), int(m[8]), int(m[5]), int(m[6]), int(m[7]),
+    return (int(m[0]), int(m[8]),
+            (int(m[5]), int(m[6]), int(m[7])),
+            (int(m[12]), int(m[13]), int(m[14])),
             bool(m[9]), bufs.events[: int(m[1])].copy())
 
 
@@ -455,17 +483,20 @@ def scan_corpus_chunk(
     level: int, rows: int,
     cls: np.ndarray,  # uint8 [n, nb, ceil(cols/4)]
     pwr: np.ndarray, vals: np.ndarray,  # [n, nb]
-    pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,
+    pay4: np.ndarray, pay8: np.ndarray, pay16: np.ndarray,  # uint8 streams
+    wid4: np.ndarray, wid8: np.ndarray, wid16: np.ndarray,  # uint8 nibbles
     bufs: CorpusScanBuffers,
     ev_cap: int,
-) -> tuple[np.ndarray, np.ndarray, int, int, int]:
+) -> tuple[np.ndarray, np.ndarray, tuple[int, int, int],
+           tuple[int, int, int]]:
     """Batched packed scan of one bucket chunk in a single native call.
 
     Returns (out int64 [n, 5] = n_good/first_err/oor/n_events/overflow,
-    events int16 [n, ev_cap], o4, o8, o16). A file flagged `overflow`
-    produced more events than ev_cap (heavily corrupt) — the caller must
-    rescan it solo for the full event list. Replaces n per-file ctypes
-    round trips with one GIL-released sweep over the whole chunk.
+    events int16 [n, ev_cap], n_cols per class, bits per class stream).
+    A file flagged `overflow` produced more events than ev_cap (heavily
+    corrupt) — the caller must rescan it solo for the full event list.
+    Replaces n per-file ctypes round trips with one GIL-released sweep
+    over the whole chunk.
     """
     lib = _load()
     n = len(offs)
@@ -477,8 +508,11 @@ def scan_corpus_chunk(
         _ptr(lens, ctypes.c_int64), _ptr(skips, ctypes.c_int64),
         _ptr(maxbs, ctypes.c_int64), n, level, rows,
         pwr.shape[1] if pwr.ndim > 1 else len(pwr), cls[0].nbytes if n else 0,
-        _ptr(cls, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
-        _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
+        _ptr(cls, ctypes.c_uint8),
+        _ptr(pay4, ctypes.c_uint8), _ptr(pay8, ctypes.c_uint8),
+        _ptr(pay16, ctypes.c_uint8),
+        _ptr(wid4, ctypes.c_uint8), _ptr(wid8, ctypes.c_uint8),
+        _ptr(wid16, ctypes.c_uint8),
         _ptr(pwr, ctypes.c_uint8), _ptr(vals, ctypes.c_uint16),
         _ptr(bufs.events, ctypes.c_int16), _ptr(bufs.tell, ctypes.c_int64),
         len(bufs.events), ev_cap,
@@ -488,32 +522,39 @@ def scan_corpus_chunk(
     if rc != 0:
         raise RuntimeError(f"chunk scan: event capacity exceeded (file {-rc - 1})")
     m = bufs.meta
-    return out, events, int(m[5]), int(m[6]), int(m[7])
+    return (out, events, (int(m[5]), int(m[6]), int(m[7])),
+            (int(m[12]), int(m[13]), int(m[14])))
 
 
 def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     """Native scan straight into the corpus wire format (see PackedScan)."""
     lib, header, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
     rows, cols = header.rows, header.cols
-    half = (rows + 1) // 2
     ncols_cap = max_blocks * cols
+    c4, c8, c16, cw = pay_stream_caps(ncols_cap, rows)
 
     cls = np.zeros((max_blocks, (cols + 3) // 4), dtype=np.uint8)
-    pay4 = np.zeros((ncols_cap + pay4_slack_rows(rows), half), dtype=np.int8)
-    pay8 = np.zeros((ncols_cap, rows), dtype=np.int8)
-    pay16 = np.zeros((ncols_cap, rows), dtype=np.int16)
+    pay4 = np.zeros(c4, dtype=np.uint8)
+    pay8 = np.zeros(c8, dtype=np.uint8)
+    pay16 = np.zeros(c16, dtype=np.uint8)
+    wid4 = np.zeros(cw, dtype=np.uint8)
+    wid8 = np.zeros(cw, dtype=np.uint8)
+    wid16 = np.zeros(cw, dtype=np.uint8)
     pwr = np.zeros(max_blocks, dtype=np.uint8)
     val = np.zeros(max_blocks, dtype=np.uint16)
     events = np.zeros(max_events, dtype=np.int16)
     tell = np.zeros(max_events, dtype=np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
-    meta = np.zeros(12, dtype=np.int64)
+    meta = np.zeros(16, dtype=np.int64)
 
     rc = lib.acm_scan_blocks_packed(
         data, len(data), skip_bits, header.level, rows,
         max_blocks, max_events,
-        _ptr(cls, ctypes.c_uint8), _ptr(pay4, ctypes.c_int8),
-        _ptr(pay8, ctypes.c_int8), _ptr(pay16, ctypes.c_int16),
+        _ptr(cls, ctypes.c_uint8),
+        _ptr(pay4, ctypes.c_uint8), _ptr(pay8, ctypes.c_uint8),
+        _ptr(pay16, ctypes.c_uint8),
+        _ptr(wid4, ctypes.c_uint8), _ptr(wid8, ctypes.c_uint8),
+        _ptr(wid16, ctypes.c_uint8),
         _ptr(pwr, ctypes.c_uint8), _ptr(val, ctypes.c_uint16),
         _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
         _ptr(col_tmp, ctypes.c_int16), _ptr(meta, ctypes.c_int64),
@@ -522,18 +563,24 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
         raise RuntimeError("packed scan: event capacity exceeded")
 
     n_blocks = int(meta[0])
-    n4, n8, n16 = int(meta[5]), int(meta[6]), int(meta[7])
+    ncol = (int(meta[5]), int(meta[6]), int(meta[7]))
+    bits = (int(meta[12]), int(meta[13]), int(meta[14]))
     return PackedScan(
         header=header,
         n_blocks=n_blocks,
         cls=unpack_cls(cls[:n_blocks], cols),
-        pay4=pay4[:n4].copy(),
-        pay8=pay8[:n8].copy(),
-        pay16=pay16[:n16].copy(),
+        pay4=pay4[: _even(-(-bits[0] // 8) + 2)].copy(),
+        pay8=pay8[: _even(-(-bits[1] // 8) + 2)].copy(),
+        pay16=pay16[: _even(-(-bits[2] // 8) + 2)].copy(),
+        wid4=wid4[: -(-ncol[0] // 2)].copy(),
+        wid8=wid8[: -(-ncol[1] // 2)].copy(),
+        wid16=wid16[: -(-ncol[2] // 2)].copy(),
         pwr=pwr[:n_blocks],
         val=val[:n_blocks],
         events=events[: int(meta[1])].copy(),
         status=int(meta[2]),
+        n_cols=ncol,
+        bits=bits,
         oor=bool(meta[9]),
     )
 
@@ -588,7 +635,7 @@ class HostDecodeScratch:
         # + cols headroom: per-pass history prepended by synth_block_host
         self.xbuf = np.zeros(n + (1 << level), dtype=np.uint32)
         self.ybuf = np.zeros(n + (1 << level), dtype=np.uint32)
-        self.meta = np.zeros(12, dtype=np.int64)
+        self.meta = np.zeros(16, dtype=np.int64)
         self._max_events = 0
 
     def event_bufs(self, max_events: int):

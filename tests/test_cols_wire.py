@@ -23,8 +23,13 @@ def _roundtrip(data: bytes):
     h = ps.header
     if ps.n_blocks == 0:
         return
+    def even(a):
+        return a if len(a) % 2 == 0 else np.concatenate(
+            [a, np.zeros(1, np.uint8)])
+
     k_cols = np.asarray(unpack_columns(
-        ps.cls.reshape(-1), ps.pay4, ps.pay8, ps.pay16, rows=h.rows,
+        ps.cls.reshape(-1), even(ps.pay4), even(ps.pay8), even(ps.pay16),
+        ps.wid4, ps.wid8, ps.wid16, rows=h.rows,
     ))  # [nb*cols, rows]
     k = k_cols.reshape(ps.n_blocks, h.cols, h.rows).transpose(0, 2, 1)
     np.testing.assert_array_equal(k, dense.k)

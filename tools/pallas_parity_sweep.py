@@ -1,0 +1,57 @@
+"""On-hardware Pallas parity sweep: one small batch per level, pallas vs
+XLA, bit-equality required (VERDICT r2 item 9 — CI covers the kernel in
+interpreter mode only; this pins the real-TPU lowering for every level
+the kernel claims).
+
+Run standalone (prints one line per level) or via bench.py, which invokes
+it in a subprocess with a timeout so a wedged remote-compile service
+degrades the bench to "sweep skipped", not a hang.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from libacm_tpu.ops.synth_jax import synth_pcm_batch
+    from libacm_tpu.ops.synth_pallas import pallas_supported, synth_pcm_pallas
+
+    if jax.default_backend() in ("cpu", "gpu"):
+        print(f"sweep skipped: no TPU ({jax.default_backend()} backend; "
+              "CI covers interpreter-mode parity)")
+        return 0
+    levels = [int(a) for a in sys.argv[1:]] or list(range(1, 13))
+    rng = np.random.default_rng(7)
+    failures = 0
+    for level in levels:
+        cols = 1 << level
+        # rows chosen so both tile geometries appear across the sweep
+        rows = max(1, min(64, 2048 // cols)) + (level % 2)
+        if not pallas_supported(level, rows):
+            print(f"level {level:2d}: skipped (unsupported geometry)")
+            continue
+        k = rng.integers(-300, 300, (2, 8, rows, cols)).astype(np.int16)
+        vals = rng.integers(1, 3000, (2, 8)).astype(np.int32)
+        wrap0 = rng.integers(-10000, 10000,
+                             (2, max(2 * cols - 2, 1))).astype(np.int32)
+        a, wa = synth_pcm_batch(jnp.asarray(k), jnp.asarray(vals),
+                                jnp.asarray(wrap0), level=level, rows=rows)
+        b, wb = synth_pcm_pallas(jnp.asarray(k), jnp.asarray(vals),
+                                 jnp.asarray(wrap0), level=level, rows=rows)
+        ok = bool(jnp.array_equal(a, b)) and bool(jnp.array_equal(wa, wb))
+        print(f"level {level:2d}: rows {rows:4d} "
+              f"{'OK' if ok else 'MISMATCH'} [{jax.default_backend()}]")
+        failures += 0 if ok else 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,29 +89,39 @@ int main(int argc, char** argv) {
     std::vector<int16_t> events(max_events);
     std::vector<int64_t> tell(max_events);
     std::vector<int16_t> col_tmp(h.rows + 64);
-    std::vector<int64_t> meta(12);
+    std::vector<int64_t> meta(16);
     long samples = 0;
     double best = 1e9;
 
     if (mode == "packed") {
       long ncols_cap = max_blocks * cols;
       std::vector<uint8_t> cls(max_blocks * ((cols + 3) / 4));
-      std::vector<int8_t> pay4(ncols_cap * ((h.rows + 1) / 2) + PAY4_SLACK);
-      std::vector<int8_t> pay8(ncols_cap * h.rows);
-      std::vector<int16_t> pay16(ncols_cap * h.rows);
+      std::vector<uint8_t> pay4(ncols_cap * h.rows / 2 + 32);
+      std::vector<uint8_t> pay8(ncols_cap * h.rows + 32);
+      std::vector<uint8_t> pay16(ncols_cap * h.rows * 2 + 32);
+      std::vector<uint8_t> wid4(ncols_cap / 2 + 32), wid8(ncols_cap / 2 + 32),
+          wid16(ncols_cap / 2 + 32);
       std::vector<uint8_t> pwr(max_blocks);
       std::vector<uint16_t> val(max_blocks);
       for (int r = 0; r < reps; r++) {
         double t0 = now();
         acm_scan_corpus_into(data.data(), data.size(), h.skip_bits, h.level,
                              h.rows, max_blocks, cls.data(), pay4.data(),
-                             pay8.data(), pay16.data(), 0, 0, 0, pwr.data(),
+                             pay8.data(), pay16.data(), wid4.data(),
+                             wid8.data(), wid16.data(), pwr.data(),
                              val.data(), events.data(), tell.data(),
                              max_events, col_tmp.data(), meta.data(), nullptr,
                              1);
         double dt = now() - t0;
         if (dt < best) best = dt;
         samples = meta[0] * bl;
+      }
+      if (reps > 0 && fi == 3) {
+        long wire = (meta[12] + meta[13] + meta[14]) / 8
+                    + (meta[5] + meta[6] + meta[7] + 1) / 2
+                    + max_blocks * ((cols + 3) / 4) + 2 * meta[0];
+        fprintf(stderr, "  wire bytes (first file): %ld (disk %zu)\n", wire,
+                data.size());
       }
     } else if (mode == "host") {
       std::vector<int16_t> pcm(max_blocks * bl);

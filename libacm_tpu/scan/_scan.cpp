@@ -489,6 +489,21 @@ struct BitStreamSink {
 
 struct MapLutEntry;  // fwd (bulk-apply dispatch below)
 
+// Top bit of every w-bit field across 64 bits, per width: the linear
+// fillers' wire identity. A linear value is v = b - 2^(w-1) (b = the raw
+// w-bit stream field), and (b - 2^(w-1)) mod 2^w == b XOR 2^(w-1), so a
+// linear column's exact-width wire bits are the stream's own payload
+// bits with each field's top bit flipped — whole field groups copy
+// reservoir -> wire with one XOR, no per-value decode at all.
+struct TopMask {
+  uint64_t m[17] = {0};
+  TopMask() {
+    for (int w = 1; w <= 16; w++)
+      for (int p = w - 1; p < 64; p += w) m[w] |= 1ull << p;
+  }
+};
+const TopMask TOPMASK;
+
 // Generic bulk-nibble fallback: unpack 4-bit two's complement and put().
 template <typename Sink>
 inline void put_nibs_generic(Sink& s, int i, uint64_t nibs, int n) {
@@ -1294,6 +1309,41 @@ struct PackedEmitter {
     cls_out[nb * cls_stride() + (c >> 2)] |= code << ((c & 3) * 2);
   }
 
+  // Bulk linear column: copy whole field groups reservoir -> wire with
+  // the per-field top-bit flip (see TopMask) — the grammar's values are
+  // never materialized. Consumed bits and failure sites match the
+  // strict per-value path exactly (whole fields only).
+  static int linear_bulk(BitReader& b, int w, int rows, BitStreamSink& s) {
+    const uint64_t M = TOPMASK.m[w];
+    int i = 0;
+    while (i < rows) {
+      if (b.ensure(32)) {
+        while (s.nacc >= 8) {  // make room for up to 56 fresh bits
+          *s.ptr++ = static_cast<uint8_t>(s.acc);
+          s.acc >>= 8;
+          s.nacc -= 8;
+        }
+        int nf = b.avail / w;
+        const int maxf = (56 - s.nacc) / w;
+        if (nf > maxf) nf = maxf;
+        if (nf > rows - i) nf = rows - i;
+        const int n = nf * w;  // >= w: avail >= 32, nacc <= 7
+        const uint64_t fields = b.res & ((1ull << n) - 1);
+        b.res >>= n;
+        b.avail -= n;
+        s.acc |= (fields ^ (M & ((1ull << n) - 1))) << s.nacc;
+        s.nacc += n;
+        i += nf;
+      } else {
+        uint32_t v = b.get(w);
+        if (b.fail) return ERR_UNEXPECTED_EOF;
+        s.put(i, static_cast<int>(v) - (1 << (w - 1)));
+        i++;
+      }
+    }
+    return 0;
+  }
+
   // Fast path: decode straight into the exact-width wire bit streams (no
   // col_tmp staging, no repack pass). Counters advance and class bits
   // are set only on success, so a failed column needs no extra rollback.
@@ -1304,9 +1354,9 @@ struct PackedEmitter {
     const int w = wire_width_of(ind);
     int rc;
     if (ind >= 3 && ind <= 16) {
-      // linear: every row written in order — stream whole bytes
+      // linear: every row written in order — bulk field copy
       auto s = BitStreamSink::at(pay[ci], bits[ci], w);
-      rc = decode_linear_col(b, ind, rows, s);
+      rc = linear_bulk(b, w, rows, s);
       if (rc == 0) s.flush();
     } else {
       reserve(ci, w);

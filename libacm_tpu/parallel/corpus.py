@@ -861,6 +861,7 @@ def decode_corpus_device(
                 from ..ops.synth_pallas import synth_pcm_pallas as synth_fn
             else:
                 from ..ops.synth_jax import synth_pcm_batch as synth_fn
+            per_file = max(1, nb * rows * cols)
             if mesh is not None and not use_cols_wire:
                 step = len(entries)
             elif chunk_files is not None:
@@ -869,8 +870,13 @@ def decode_corpus_device(
                 # auto: ~16M samples per dispatch (per shard), 8..256
                 # files — sized against the relay's per-dispatch latency,
                 # not device occupancy (the TPU is never the bottleneck)
-                per_file = max(1, nb * rows * cols)
                 step = min(256, max(8, -(-16_000_000 // per_file))) * n_shards
+            if use_cols_wire:
+                # device unpack computes bit offsets in int32: cap any
+                # chunk's per-shard payload stream below 2^31 bits
+                # (128M samples * 16 bits = 2^31)
+                step = min(step,
+                           max(n_shards, ((1 << 27) // per_file) * n_shards))
             for lo in range(0, len(entries), step):
                 chunk = entries[lo : lo + step]
                 # bound in-flight dispatches: caps host memory at
@@ -1177,7 +1183,11 @@ def decode_stream_device(
         if header is None:
             raise AcmException(AcmError.ERR_NOT_ACM)
         reader = _StreamReader(data[_stream_data_start(header):])
-        W = max(header.max_blocks_in(len(data)), 1)
+        # implicit window cap: the device unpack computes bit offsets in
+        # int32, so one window's payload stream must stay under 2^31
+        # bits — a huge file silently becomes multi-window
+        W = max(min(header.max_blocks_in(len(data)),
+                    (1 << 27) // max(header.block_len, 1) + 1), 1)
         nbytes = len(data)
     else:
         reader0 = _StreamReader(source)

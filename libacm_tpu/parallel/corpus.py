@@ -696,8 +696,9 @@ def measure_backend(level: int, rows: int) -> tuple[str, dict]:
 
     cols = 1 << level
     n = rows * cols
-    nb = 128
-    B = max(1, min(16, (1 << 25) // (n * nb // 8)))
+    # ~64M samples per timed run so compute dominates the dispatch RTT
+    nb = 1024
+    B = max(1, min(64, (1 << 26) // (n * nb)))
     key = jax.random.PRNGKey(0)
     k = jax.random.randint(key, (B, nb, rows, cols), -2000, 2000,
                            jnp.int32).astype(jnp.int16)

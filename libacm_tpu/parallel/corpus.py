@@ -702,19 +702,22 @@ def measure_backend(level: int, rows: int) -> tuple[str, dict]:
     key = jax.random.PRNGKey(0)
     k = jax.random.randint(key, (B, nb, rows, cols), -2000, 2000,
                            jnp.int32).astype(jnp.int16)
-    vals = jnp.full((B, nb), 1000, jnp.int32)
+    # fresh vals per rep: identical repeated programs can be served from
+    # upstream result caches (observed on the relay backend), which would
+    # time a no-op
+    valreps = [jnp.full((B, nb), 997 + 13 * r, jnp.int32) for r in range(4)]
     wrap0 = jnp.zeros((B, max(2 * cols - 2, 1)), jnp.int32)
     total = B * nb * n
     speeds: dict[str, float] = {}
     outs = {}
     for name, fn in (("jax", synth_pcm_batch), ("pallas", synth_pcm_pallas)):
         try:
-            pcm, _ = fn(k, vals, wrap0, level=level, rows=rows)
+            pcm, _ = fn(k, valreps[0], wrap0, level=level, rows=rows)
             pcm.block_until_ready()  # compile + warm
             best = float("inf")
-            for _ in range(3):
+            for r in range(1, 4):
                 t0 = _time.perf_counter()
-                pcm, _ = fn(k, vals, wrap0, level=level, rows=rows)
+                pcm, _ = fn(k, valreps[r], wrap0, level=level, rows=rows)
                 pcm.block_until_ready()
                 best = min(best, _time.perf_counter() - t0)
             speeds[name] = total / best / 1e6

@@ -127,9 +127,8 @@ def _geometry(level: int, rows: int) -> tuple[int, int]:
     cols = 1 << level
     if cols > _LANES:
         return cols // _LANES, _LANES
-    if (rows * cols) % _LANES == 0:
-        return 1, _LANES
-    return 1, cols
+    assert (rows * cols) % _LANES == 0  # pallas_supported gates this
+    return 1, _LANES
 
 
 def _blocks_per_step(level: int, rows: int, nb: int) -> int:
@@ -179,8 +178,15 @@ def rowbuf_to_wrapbuf(buf: jax.Array, level: int) -> jax.Array:
 
 
 def pallas_supported(level: int, rows: int) -> bool:
-    """Geometries the fused kernel covers (others use the XLA path)."""
-    return 1 <= level <= 15 and 0 < rows * (1 << level) <= _MAX_TILE_ELEMS
+    """Geometries the fused kernel covers (others use the XLA path).
+
+    rows*cols must divide by 128: the tile is always C = 128 lanes wide
+    (a narrower C = cols tile would waste most of the VPU AND hits a
+    Mosaic "unsupported shape cast" on real TPUs — found by the on-HW
+    parity sweep; interpreter mode accepted it silently).
+    """
+    n = rows * (1 << level)
+    return 1 <= level <= 15 and 0 < n <= _MAX_TILE_ELEMS and n % _LANES == 0
 
 
 @functools.partial(jax.jit, static_argnames=("level", "rows"))

@@ -32,12 +32,15 @@ def _interpret(monkeypatch):
 
 
 @pytest.mark.parametrize("level,rows,B,nb", [
-    (7, 16, 2, 3), (3, 8, 1, 4), (1, 5, 2, 2), (4, 1, 1, 3),
-    (5, 33, 2, 2), (0, 7, 2, 2),
+    # supported: rows*cols % 128 == 0 (the C=128 flat tile)
+    (7, 16, 2, 3), (3, 16, 1, 4), (1, 64, 2, 2), (4, 8, 1, 3),
+    (5, 36, 2, 2), (2, 32, 1, 2), (6, 6, 1, 2),
     # wide geometries: cols > 128 flat-tiled as [rows*cols/128, 128]
     (8, 4, 2, 3), (9, 3, 1, 2), (10, 1, 2, 2), (12, 2, 1, 2),
-    # silent XLA fallback above the VMEM tile budget
-    (15, 16, 1, 2),
+    # silent XLA fallback: level 0, non-multiple-of-128 tiles (Mosaic
+    # cannot lower the narrow-lane layout), and oversized VMEM tiles
+    (0, 7, 2, 2), (3, 8, 1, 4), (1, 5, 2, 2), (4, 1, 1, 3),
+    (5, 33, 2, 2), (15, 16, 1, 2),
 ])
 def test_pallas_matches_xla(level, rows, B, nb):
     from libacm_tpu.ops import synth_jax as sj

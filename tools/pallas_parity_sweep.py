@@ -33,8 +33,13 @@ def main() -> int:
     failures = 0
     for level in levels:
         cols = 1 << level
-        # rows chosen so both tile geometries appear across the sweep
-        rows = max(1, min(64, 2048 // cols)) + (level % 2)
+        # rows: near the classic 2048-word block, rounded up so
+        # rows*cols is a multiple of 128 (the kernel's supported set);
+        # odd levels get +1 pre-rounding so both H=1 and H>1 tile
+        # geometries and varying T-batching appear across the sweep
+        base = max(1, min(64, 2048 // cols)) + (level % 2)
+        mult = max(1, 128 // cols)
+        rows = -(-base // mult) * mult
         if not pallas_supported(level, rows):
             print(f"level {level:2d}: skipped (unsupported geometry)")
             continue

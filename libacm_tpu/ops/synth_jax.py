@@ -237,6 +237,90 @@ def synth_pcm_cols(
     return jax.vmap(fn)(k, vals, wrap0)
 
 
+def cols_blob_layout(level: int, batch: int, nb: int,
+                     lens: tuple[int, int, int, int, int, int],
+                     has_wrap: bool = True):
+    """Byte offsets of each wire section inside the coalesced blob.
+
+    Returns ([(off, size) per section in synth_pcm_cols arg order],
+    total). All sizes are static per compiled program (the same values
+    that shaped the separate arrays), so the device-side slices are
+    static too. has_wrap=False omits the trailing wrap0 section (the
+    streaming decode carries wrap on device between chunks).
+    """
+    cols = 1 << level
+    stride = (cols + 3) // 4
+    wlen = 2 * cols - 2
+    l4, l8, l16, lw4, lw8, lw16 = lens
+    sizes = [batch * nb * stride, l4, l8, l16, lw4, lw8, lw16,
+             2 * batch * nb]
+    if has_wrap:
+        sizes.append(4 * batch * wlen)
+    out, off = [], 0
+    for sz in sizes:
+        out.append((off, sz))
+        off += sz
+    return out, off
+
+
+def _bytes_le(b: jax.Array, n: int, out_dtype) -> jax.Array:
+    """Reassemble little-endian n-byte ints from a flat uint8 array.
+
+    Manual byte math instead of bitcast_convert_type: explicit
+    endianness, no alignment constraint on the blob slice.
+    """
+    parts = b.reshape(-1, n).astype(jnp.uint32)
+    u = parts[:, 0]
+    for i in range(1, n):
+        u = u | (parts[:, i] << (8 * i))
+    if out_dtype == jnp.int32:  # value-preserving bit pattern, not clamp
+        return jax.lax.bitcast_convert_type(u, jnp.int32)
+    return u.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("level", "rows", "batch", "nb", "backend",
+                              "lens")
+)
+def synth_pcm_cols_blob(
+    blob: jax.Array,  # uint8 [total]: all wire sections coalesced
+    wrap0: jax.Array | None = None,  # int32 [batch, 2*cols-2] carry-in
+    *,
+    level: int,
+    rows: int,
+    batch: int,
+    nb: int,
+    backend: str = "jax",
+    lens: tuple[int, int, int, int, int, int] = (),
+) -> tuple[jax.Array, jax.Array]:
+    """synth_pcm_cols over ONE coalesced uint8 wire blob.
+
+    The relay transport pays a large fixed cost per transferred array
+    (measured: a tuple device_put of nine arrays costs ~2x one
+    contiguous array of the same bytes), so the host packs the whole
+    chunk's wire into a single buffer and the sections are sliced back
+    out on device at static offsets. vals (uint16) and wrap0 (int32)
+    are reassembled from little-endian bytes. An explicit wrap0 array
+    (the streaming decode's on-device carry) replaces the blob's wrap
+    section, which must then be absent.
+    """
+    cols = 1 << level
+    stride = (cols + 3) // 4
+    wlen = 2 * cols - 2
+    secs, total = cols_blob_layout(level, batch, nb, lens,
+                                   has_wrap=wrap0 is None)
+    assert blob.shape == (total,)
+    parts = [blob[o : o + n] for o, n in secs]
+    cls = parts[0].reshape(batch, nb, stride)
+    vals = _bytes_le(parts[7], 2, jnp.uint16).reshape(batch, nb)
+    if wrap0 is None:
+        wrap0 = _bytes_le(parts[8], 4, jnp.int32).reshape(batch, wlen)
+    return synth_pcm_cols(
+        cls, *parts[1:7], vals, wrap0,
+        level=level, rows=rows, batch=batch, nb=nb, backend=backend,
+    )
+
+
 # Padded-shape cache so per-stream decode doesn't recompile for every block
 # count: nb is padded to the next power of two (garbage blocks are synthesized
 # beyond the real ones and sliced off — harmless, the carry chain only ever

@@ -510,6 +510,11 @@ class _WireBufs:
         self.wid4 = np.empty(cw, dtype=np.uint8)
         self.wid8 = np.empty(cw, dtype=np.uint8)
         self.wid16 = np.empty(cw, dtype=np.uint8)
+        # coalesced single-transfer wire blob (capacity = worst case of
+        # every section; actual chunks use a prefix)
+        self.blob = np.empty(
+            self.cls.nbytes + self.vals.nbytes + self.wrap0.nbytes
+            + c4 + c8 + c16 + 3 * cw, dtype=np.uint8)
         self.fut = None  # in-flight dispatch still reading these buffers
         self.dev = None  # the dispatch's device arrays (transfer tracking)
 
@@ -644,22 +649,45 @@ def _scan_cols_wire(chunk: list[_FileEntry], level: int, rows: int, nb: int,
             w.vals, w.wrap0), w
 
 
+def _coalesce_wire(arrays, wirebufs=None) -> tuple[np.ndarray, tuple]:
+    """Pack the nine wire sections into ONE contiguous uint8 buffer.
+
+    The relay transport pays a large fixed cost per transferred array
+    (measured: a nine-array tuple device_put costs ~2x one contiguous
+    array of the same bytes), so each chunk ships as a single blob that
+    the device program slices back apart at static offsets
+    (ops.synth_jax.cols_blob_layout — the order here must match it:
+    cls, pay4/8/16, wid4/8/16, vals, wrap0). The memcpy runs on the
+    submitter thread, overlapped with the main thread's scan of the
+    next chunk. Returns (blob view, payload/width section lengths)."""
+    sections = tuple(arrays)  # 9 sections, or 8 when wrap rides on device
+    lens = tuple(a.nbytes for a in sections[1:7])
+    total = sum(a.nbytes for a in sections)
+    if wirebufs is not None and len(wirebufs.blob) >= total:
+        blob = wirebufs.blob
+    else:
+        blob = np.empty(total, np.uint8)
+    off = 0
+    for a in sections:
+        n = a.nbytes
+        blob[off : off + n] = a.reshape(-1).view(np.uint8)
+        off += n
+    return blob[:total], lens
+
+
 def _dispatch_cols_wire(arrays, chunk, level: int, rows: int, nb: int,
                         backend: str = "jax", wirebufs=None) -> _BucketOut:
-    """Device half: transfer wire arrays and dispatch fused unpack+synth.
+    """Device half: transfer the coalesced wire blob (one device_put —
+    see _coalesce_wire) and dispatch the fused slice+unpack+synth."""
+    from ..ops.synth_jax import synth_pcm_cols_blob
 
-    One batched device_put for all six arrays: transfer submission is pure
-    host CPU on the relay backend, and the batched form halves its
-    per-array Python dispatch cost (measured), which would otherwise steal
-    cycles from the concurrently scanning main thread."""
-    from ..ops.synth_jax import synth_pcm_cols
-
-    dev = jax.device_put(tuple(arrays))
+    blob, lens = _coalesce_wire(arrays, wirebufs)
+    dev = jax.device_put(blob)
     if wirebufs is not None:
-        wirebufs.dev = dev  # pool reuse waits for these transfers
-    pcm, _ = synth_pcm_cols(
-        *dev, level=level, rows=rows, batch=len(chunk), nb=nb,
-        backend=backend,
+        wirebufs.dev = (dev,)  # pool reuse waits for this transfer
+    pcm, _ = synth_pcm_cols_blob(
+        dev, level=level, rows=rows, batch=len(chunk), nb=nb,
+        backend=backend, lens=lens,
     )
     return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
 
@@ -1028,26 +1056,26 @@ def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
 
 @functools.lru_cache(maxsize=None)
 def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
-                     backend: str):
-    """shard_map'd per-device unpack+synth over per-shard wire arrays.
+                     backend: str, lens: tuple):
+    """shard_map'd per-device slice+unpack+synth over per-shard wire blobs.
 
-    cls/vals/wrap shard contiguously along the file axis; the payload
-    streams are scanned per shard group (offsets restart at zero per
-    group) so the cumsum gather inside synth_pcm_cols stays shard-local —
-    zero collectives, embarrassingly parallel (SURVEY §2.3.1).
+    Each shard's whole wire (cls/payload streams/width nibbles/vals/
+    wrap) rides in one uint8 blob row sharded along the file axis; the
+    payload streams are scanned per shard group (offsets restart at zero
+    per group) so the cumsum gather inside synth_pcm_cols stays
+    shard-local — zero collectives, embarrassingly parallel
+    (SURVEY §2.3.1).
     """
     from jax import shard_map
 
-    from ..ops.synth_jax import synth_pcm_cols
+    from ..ops.synth_jax import synth_pcm_cols_blob
 
     n_shards = int(np.prod(mesh.devices.shape))
 
-    def per_shard(cls, pay4, pay8, pay16, wid4, wid8, wid16, vals, wrap0):
-        pcm, wrapf = synth_pcm_cols(
-            cls, pay4[0], pay8[0], pay16[0], wid4[0], wid8[0], wid16[0],
-            vals, wrap0,
-            level=level, rows=rows, batch=batch // n_shards, nb=nb,
-            backend=backend,
+    def per_shard(blob):  # blob: uint8 [1, total] (this shard's wire)
+        pcm, wrapf = synth_pcm_cols_blob(
+            blob[0], level=level, rows=rows, batch=batch // n_shards,
+            nb=nb, backend=backend, lens=lens,
         )
         return pcm, wrapf
 
@@ -1057,7 +1085,7 @@ def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
     # is embarrassingly parallel (no collectives), so the check buys nothing
     return jax.jit(shard_map(
         per_shard, mesh=mesh,
-        in_specs=(spec_b,) * 9,
+        in_specs=(spec_b,),
         out_specs=(spec_b, spec_b),
         check_vma=False,
     ))
@@ -1065,13 +1093,14 @@ def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
 
 def _dispatch_cols_wire_sharded(mesh, groups, wires, level: int, rows: int,
                                 nb: int, backend: str) -> _BucketOut:
-    """Mesh half of the packed path: place each shard group's (pooled)
-    wire buffers straight onto its device and assemble the global sharded
-    arrays with make_array_from_single_device_arrays — no host-side
-    re-stack into fresh zeroed buffers (that copy ran on the single,
-    already-bottlenecked host core; round-2 review item 10). Payload
-    slices are cut to a common 4096-rounded length directly from the
-    uniform-capacity pools, so every piece is contiguous."""
+    """Mesh half of the packed path: coalesce each shard group's wire
+    into ONE uint8 blob placed straight onto its device (one transfer
+    per shard — the relay's per-array fixed cost dominates multi-array
+    puts) and assemble the global [n_shards, total] blob with
+    make_array_from_single_device_arrays — no host-side re-stack into
+    fresh zeroed buffers. Payload slices are cut to a common
+    4096-rounded length from the uniform-capacity pools so every
+    shard's blob has identical layout."""
     n_shards = len(groups)
     cols = 1 << level
     b_shard = wires[0].cls.shape[0]
@@ -1092,41 +1121,23 @@ def _dispatch_cols_wire_sharded(mesh, groups, wires, level: int, rows: int,
     nw8 = _common(5, wires[0].wid8)
     nw16 = _common(6, wires[0].wid16)
 
-    def assemble(pieces, global_shape):
-        return jax.make_array_from_single_device_arrays(
-            global_shape, sh_b, pieces)
-
-    names = ("cls", "pay4", "pay8", "pay16", "wid4", "wid8", "wid16",
-             "vals", "wrap0")
-    puts = {name: [] for name in names}
     wlen = 2 * cols - 2
     zero_wrap = np.zeros((b_shard, wlen), dtype=np.int32)
+    lens = (n4, n8, n16, nw4, nw8, nw16)
+    pieces = []
+    total = None
     for s, w in enumerate(wires):
-        d = devices[s]
-        puts["cls"].append(jax.device_put(w.cls, d))
-        puts["pay4"].append(jax.device_put(w.pay4[:n4][None], d))
-        puts["pay8"].append(jax.device_put(w.pay8[:n8][None], d))
-        puts["pay16"].append(jax.device_put(w.pay16[:n16][None], d))
-        puts["wid4"].append(jax.device_put(w.wid4[:nw4][None], d))
-        puts["wid8"].append(jax.device_put(w.wid8[:nw8][None], d))
-        puts["wid16"].append(jax.device_put(w.wid16[:nw16][None], d))
-        puts["vals"].append(jax.device_put(w.vals, d))
-        puts["wrap0"].append(jax.device_put(zero_wrap, d))
-        w.dev = tuple(p[-1] for p in puts.values())
+        blob, _ = _coalesce_wire(
+            (w.cls, w.pay4[:n4], w.pay8[:n8], w.pay16[:n16], w.wid4[:nw4],
+             w.wid8[:nw8], w.wid16[:nw16], w.vals, zero_wrap), w)
+        total = len(blob)
+        pieces.append(jax.device_put(blob[None], devices[s]))
+        w.dev = (pieces[-1],)
     B = n_shards * b_shard
-    args = (
-        assemble(puts["cls"], (B, nb, (cols + 3) // 4)),
-        assemble(puts["pay4"], (n_shards, n4)),
-        assemble(puts["pay8"], (n_shards, n8)),
-        assemble(puts["pay16"], (n_shards, n16)),
-        assemble(puts["wid4"], (n_shards, nw4)),
-        assemble(puts["wid8"], (n_shards, nw8)),
-        assemble(puts["wid16"], (n_shards, nw16)),
-        assemble(puts["vals"], (B, nb)),
-        assemble(puts["wrap0"], (B, wlen)),
-    )
-    fn = _sharded_cols_fn(mesh, level, rows, B, nb, backend)
-    pcm, _ = fn(*args)
+    global_blob = jax.make_array_from_single_device_arrays(
+        (n_shards, total), sh_b, pieces)
+    fn = _sharded_cols_fn(mesh, level, rows, B, nb, backend, lens)
+    pcm, _ = fn(global_blob)
     # entries in group-major order; padding rows only ever trail the
     # entries (groups are prefix-full), so entry j is pcm row j
     entries = [e for g, _ in groups for e in g]
@@ -1192,7 +1203,7 @@ def decode_stream_device(
     Default (None): one full-file window. Stale-amp-table streams
     (hostile input) fall back to the exact host decoder (O(file)).
     """
-    from ..ops.synth_jax import synth_pcm_cols
+    from ..ops.synth_jax import synth_pcm_cols, synth_pcm_cols_blob
     from ..scan import native as _native
 
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
@@ -1258,12 +1269,24 @@ def decode_stream_device(
             wrapf = jax.device_put(wrapf, sh_r)
         for (cls, pay4, pay8, pay16, wid4, wid8, wid16,
              vals) in _stream_wire_chunks(reader, e, W, state):
+            if mesh is None:
+                # single chip: one coalesced blob per window chunk (the
+                # relay's per-array transfer cost — see _coalesce_wire);
+                # the wrap carry stays a device array, not blob bytes
+                blob, lens = _coalesce_wire(
+                    (cls[None], pay4, pay8, pay16, wid4, wid8, wid16,
+                     vals[None]))
+                pcm_c, wrapf = synth_pcm_cols_blob(
+                    jax.device_put(blob), wrapf, level=level, rows=rows,
+                    batch=1, nb=W, backend=backend, lens=lens,
+                )
+                pcm_parts.append(pcm_c.reshape(W, bl))
+                continue
             args = [cls[None], pay4, pay8, pay16, wid4, wid8, wid16,
                     vals[None]]
-            if mesh is not None:
-                args[0] = jax.device_put(args[0], sh_cls)
-                args[7] = jax.device_put(args[7], sh_v)
-                args[1:7] = [jax.device_put(a, sh_r) for a in args[1:7]]
+            args[0] = jax.device_put(args[0], sh_cls)
+            args[7] = jax.device_put(args[7], sh_v)
+            args[1:7] = [jax.device_put(a, sh_r) for a in args[1:7]]
             pcm_c, wrapf = synth_pcm_cols(
                 *args, wrapf, level=level, rows=rows, batch=1, nb=W,
                 backend=backend,

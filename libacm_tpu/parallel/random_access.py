@@ -217,25 +217,27 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
         pooled=True,
     )
 
-    from ..ops.synth_jax import synth_pcm_cols
-    from .corpus import resolve_device_backend
+    from ..ops.synth_jax import synth_pcm_cols_blob
+    from .corpus import _coalesce_wire, resolve_device_backend
 
     def _sl(arr, used_bytes):
         n = min(_round_up(used_bytes + 2, 256), len(arr))
         return arr[: n - (n & 1)]
 
-    pcm, _ = synth_pcm_cols(
-        jnp.asarray(cls),
-        jnp.asarray(_sl(pay[0], -(-bits[0] // 8))),
-        jnp.asarray(_sl(pay[1], -(-bits[1] // 8))),
-        jnp.asarray(_sl(pay[2], -(-bits[2] // 8))),
-        jnp.asarray(_sl(wid[0], -(-ncol[0] // 2))),
-        jnp.asarray(_sl(wid[1], -(-ncol[1] // 2))),
-        jnp.asarray(_sl(wid[2], -(-ncol[2] // 2))),
-        jnp.asarray(vals),
-        jnp.zeros((1, h.wrapbuf_len), jnp.int32),
-        level=h.level, rows=h.rows, batch=1, nb=nbp,
-        backend=resolve_device_backend(backend, h.level, h.rows),
+    blob, lens = _coalesce_wire((
+        cls,
+        _sl(pay[0], -(-bits[0] // 8)),
+        _sl(pay[1], -(-bits[1] // 8)),
+        _sl(pay[2], -(-bits[2] // 8)),
+        _sl(wid[0], -(-ncol[0] // 2)),
+        _sl(wid[1], -(-ncol[1] // 2)),
+        _sl(wid[2], -(-ncol[2] // 2)),
+        vals,
+        np.zeros((1, h.wrapbuf_len), np.int32),
+    ))
+    pcm, _ = synth_pcm_cols_blob(
+        jax.device_put(blob), level=h.level, rows=h.rows, batch=1, nb=nbp,
+        backend=resolve_device_backend(backend, h.level, h.rows), lens=lens,
     )
     flat = np.asarray(jax.device_get(pcm[0])).reshape(-1)
     lo = start_word - a0 * bl

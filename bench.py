@@ -139,6 +139,40 @@ def time_reference_once(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
     return time.perf_counter() - t0
 
 
+def relay_probe() -> float:
+    """Seconds for a tiny device round trip (put + scalar fetch).
+
+    The TPU sits behind a shared remote relay whose throughput swings
+    from ~1 GB/s to ~KB/s with congestion; a probe >> 0.1 s means every
+    device-path number below is measuring the link's weather, not the
+    framework. Recorded in the JSON artifact so a bad window is
+    identifiable from the artifact alone."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    t0 = time.perf_counter()
+    d = jax.device_put(_np.ones(1024, _np.int16))
+    int(jnp.sum(d.astype(jnp.int32)))
+    return time.perf_counter() - t0
+
+
+def wait_for_relay(budget_s: float = 900.0) -> float:
+    """Probe until the relay looks usable (or the budget runs out).
+
+    Returns the last probe. Waiting for a usable shared link is
+    measurement hygiene, not cherry-picking: both decoders are timed in
+    whatever window we do run, interleaved."""
+    deadline = time.time() + budget_s
+    while True:
+        p = relay_probe()
+        log(f"relay probe: {p:.2f} s")
+        if p < 2.0 or time.time() > deadline:
+            return p
+        log("  degraded relay; waiting 60 s...")
+        time.sleep(60)
+
+
 def time_all(
     ref: pathlib.Path | None, files: list[pathlib.Path], total_samples: int
 ) -> tuple[float, float, float | None, dict]:
@@ -269,6 +303,11 @@ def main() -> int:
     if ref is None:
         log("reference binary unavailable; vs_baseline=null")
 
+    import jax
+
+    probe_s = (wait_for_relay() if jax.default_backend()
+               not in ("cpu", "gpu") else 0.0)
+
     # standalone bitstream-scan throughput (host CPU, no device): the
     # serial VLC front-end is the Amdahl term under every number
     scan_msps = time_native_scan(files, total_samples)
@@ -306,6 +345,7 @@ def main() -> int:
                              if ref_msps else None),
         "backend_jax_Msamples_per_s": shoot.get("jax"),
         "backend_pallas_Msamples_per_s": shoot.get("pallas"),
+        "relay_probe_s": round(probe_s, 3),
     }))
     return 0
 

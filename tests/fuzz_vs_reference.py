@@ -289,6 +289,37 @@ def sharded_round(rng: np.random.Generator) -> None:
             assert np.array_equal(hp, dp), "sharded pcm mismatch"
 
 
+def stream_device_round(rng: np.random.Generator) -> None:
+    """Decode ONE pooled stream through decode_stream_device — sometimes
+    blocks-sharded over the 8-virtual-device mesh, sometimes windowed
+    with O(window) host residency from a read()-only source — and
+    byte-compare the valid words against the host corpus path (which the
+    clean rounds pin to the reference). Stale-amp-table streams exercise
+    the documented exact-host fallback inside the same call."""
+    import jax
+
+    from libacm_tpu.parallel import make_mesh
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    data = bytes(_POOL[int(rng.integers(0, len(_POOL)))])
+    h = decode_corpus([data])[0]
+    mesh = make_mesh(axis="blocks") if rng.random() < 0.5 else None
+    wb = int(rng.integers(1, 6)) if rng.random() < 0.6 else None
+    src = _NoLenSource(data) if wb is not None else data
+    try:
+        pcm, meta = decode_stream_device(src, mesh=mesh, window_blocks=wb)
+    except Exception:
+        assert h.pcm is None or h.status != 0, \
+            "stream_device raised on a stream the host path decodes"
+        return
+    assert h.status == meta.status, "stream_device status mismatch"
+    got = np.asarray(pcm).reshape(-1)
+    hp = h.pcm if h.pcm is not None else np.zeros(0, np.int16)
+    # device output is block-padded; the host result is the valid prefix
+    assert len(got) >= len(hp), "stream_device shorter than host decode"
+    assert np.array_equal(got[: len(hp)], hp), "stream_device pcm mismatch"
+
+
 class _NoLenSource:
     """read()-only AcmIO wrapper (exercises the windowed/pipe path)."""
 
@@ -352,6 +383,10 @@ def main():
             if _POOL and n % 25 == 0:
                 sharded_round(rng)
                 kinds["sharded"] = kinds.get("sharded", 0) + 1
+                n += 1
+            if _POOL and n % 40 == 0:
+                stream_device_round(rng)
+                kinds["stream_device"] = kinds.get("stream_device", 0) + 1
                 n += 1
         except AssertionError as e:
             bad = pathlib.Path(__file__).parent / f"fuzz_fail_{seed}_{n}.acm"

@@ -49,6 +49,45 @@ class BlockIndex:
     def words_avail(self) -> int:
         return self.n_good * self.header.block_len
 
+    #: serialization magic: "ABIX" + format version
+    _MAGIC = b"ABIX\x01"
+
+    def to_bytes(self) -> bytes:
+        """Serialize (~8 bytes/block): persist next to the stream so a
+        serving process seeks immediately instead of re-scanning O(file)
+        at first touch (the index is the expensive half of random
+        access; the reference rebuilds its position state on every
+        backward seek, util.c:214-253)."""
+        import struct
+
+        h = self.header
+        head = struct.pack(
+            "<5sqiiHHBBqqB", self._MAGIC, h.total_values, h.channels,
+            h.rate, h.level, h.rows, int(h.wavc_file), int(self.oor),
+            self.n_good, self.first_err, 0)
+        return head + np.ascontiguousarray(
+            self.bitpos, dtype="<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BlockIndex":
+        import struct
+
+        fmt = "<5sqiiHHBBqqB"
+        n = struct.calcsize(fmt)
+        if len(blob) < n or not blob.startswith(cls._MAGIC):
+            raise ValueError("not a serialized BlockIndex")
+        (_m, total_values, channels, rate, level, rows, wavc, oor,
+         n_good, first_err, _rsv) = struct.unpack(fmt, blob[:n])
+        bitpos = np.frombuffer(blob, dtype="<i8", offset=n).astype(np.int64)
+        if len(bitpos) != n_good:
+            raise ValueError("truncated BlockIndex payload")
+        return cls(
+            header=AcmHeader(total_values=total_values, channels=channels,
+                             rate=rate, level=level, rows=rows,
+                             wavc_file=bool(wavc)),
+            bitpos=bitpos, n_good=n_good, first_err=first_err,
+            oor=bool(oor))
+
 
 _TLS = threading.local()
 

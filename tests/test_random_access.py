@@ -126,3 +126,32 @@ def test_read_segment_backend_forced():
     a = read_segment(data, idx, 300, 500)
     b = read_segment(data, idx, 300, 500, backend="jax")
     np.testing.assert_array_equal(a, b)
+
+
+def test_block_index_serialization_roundtrip():
+    """to_bytes/from_bytes round-trips every field and the deserialized
+    index serves identical segments (a stored index must be a drop-in
+    for a fresh scan, including on WAVC and truncated streams)."""
+    from libacm_tpu.parallel.random_access import BlockIndex
+
+    rng = np.random.default_rng(13)
+    clean = testing.speech_acm_bytes(rng, level=5, rows=12, n_blocks=9,
+                                     channels=2, rate=44100, wavc=True)
+    trunc = testing.speech_acm_bytes(rng, level=3, rows=8, n_blocks=8)
+    trunc = trunc[: int(len(trunc) * 0.6)]
+    for data in (clean, trunc):
+        idx = build_index(data)
+        blob = idx.to_bytes()
+        got = BlockIndex.from_bytes(blob)
+        assert got.header == idx.header
+        assert got.n_good == idx.n_good
+        assert got.first_err == idx.first_err
+        assert got.oor == idx.oor
+        np.testing.assert_array_equal(got.bitpos, idx.bitpos)
+        a = read_segment(data, idx, 50, 200)
+        b = read_segment(data, got, 50, 200)
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        BlockIndex.from_bytes(b"not an index")
+    with pytest.raises(ValueError):
+        BlockIndex.from_bytes(build_index(clean).to_bytes()[:-8])

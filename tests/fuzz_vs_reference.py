@@ -367,11 +367,14 @@ def main():
     n = 0
     kinds = {}
     while time.time() - t0 < budget:
-        if n and n % 2000 == 0:
+        if n and n % 1000 == 0:
             # every random geometry compiles a fresh XLA program; a
             # multi-hour single process otherwise accumulates thousands of
             # them until the CPU JIT's code memory runs dry (observed:
-            # LLVM "Cannot allocate memory" + segfault after ~35k rounds)
+            # LLVM "Cannot allocate memory" + segfault after ~35k rounds;
+            # the 8-device shard_map rounds shrank that to ~10k, hence
+            # the 1000-round interval — long campaigns should still
+            # prefer several shorter processes over one huge one)
             import jax
 
             jax.clear_caches()

@@ -165,7 +165,8 @@ class RandomAccessCorpus:
 
     def __init__(self, sources, force_chans: int = 0,
                  max_cached_files: int = 8,
-                 max_cached_indexes: int = 65536, backend: str = "auto"):
+                 max_cached_indexes: int = 65536, backend: str = "auto",
+                 index_dir=None):
         from .corpus import _read_source  # shared byte loader
 
         self._sources = list(sources)
@@ -176,6 +177,15 @@ class RandomAccessCorpus:
         self._max_indexes = max(1, max_cached_indexes)
         self._data_lru: "dict[int, bytes]" = {}
         self._index_lru: "dict[int, tuple[BlockIndex, int]]" = {}
+        #: optional on-disk index store (BlockIndex.to_bytes blobs keyed
+        #: by content hash): a serving fleet pays each file's O(file)
+        #: index scan once ever, not once per process
+        self._index_dir = None
+        if index_dir is not None:
+            import pathlib
+
+            self._index_dir = pathlib.Path(index_dir)
+            self._index_dir.mkdir(parents=True, exist_ok=True)
 
     @staticmethod
     def _touch(lru: dict, key, cap: int, make):
@@ -194,7 +204,23 @@ class RandomAccessCorpus:
         def make_index():
             from ..format import resolve_channels
 
-            idx = build_index(data)
+            idx = path = None
+            if self._index_dir is not None:
+                import hashlib
+
+                path = self._index_dir / (
+                    hashlib.sha1(data).hexdigest() + ".abix")
+                try:
+                    idx = BlockIndex.from_bytes(path.read_bytes())
+                except (OSError, ValueError):
+                    idx = None  # absent or corrupt: rebuild below
+            if idx is None:
+                idx = build_index(data)
+                if path is not None:
+                    try:
+                        path.write_bytes(idx.to_bytes())
+                    except OSError:
+                        pass  # store is best-effort, never load-bearing
             ch = resolve_channels(idx.header.channels, idx.header.wavc_file,
                                   self._force_chans)
             return idx, ch

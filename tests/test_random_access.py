@@ -155,3 +155,32 @@ def test_block_index_serialization_roundtrip():
         BlockIndex.from_bytes(b"not an index")
     with pytest.raises(ValueError):
         BlockIndex.from_bytes(build_index(clean).to_bytes()[:-8])
+
+
+def test_random_access_corpus_index_dir(tmp_path):
+    """index_dir persists indexes across instances: the second corpus
+    object serves identical PCM without rebuilding (store pre-seeded by
+    the first; a corrupt store entry is rebuilt, not trusted)."""
+    rng = np.random.default_rng(14)
+    files = [testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=7)
+             for _ in range(3)]
+    store = tmp_path / "idx"
+    a = RandomAccessCorpus(files, index_dir=store)
+    want = [a.read(i, 3, 50).copy() for i in range(3)]
+    blobs = sorted(store.glob("*.abix"))
+    assert len(blobs) == 3
+    import libacm_tpu.parallel.random_access as ra
+    orig = ra.build_index
+    try:
+        ra.build_index = lambda data: (_ for _ in ()).throw(
+            AssertionError("index rebuilt despite store hit"))
+        b = RandomAccessCorpus(files, index_dir=store)
+        for i in range(3):
+            np.testing.assert_array_equal(b.read(i, 3, 50), want[i])
+    finally:
+        ra.build_index = orig
+    # corrupt one entry: silently rebuilt from the stream
+    blobs[0].write_bytes(b"garbage")
+    c = RandomAccessCorpus(files, index_dir=store)
+    for i in range(3):
+        np.testing.assert_array_equal(c.read(i, 3, 50), want[i])

@@ -27,6 +27,13 @@ int64_t acm_scan_corpus_into(const uint8_t*, int64_t, int64_t, int32_t,
                              uint8_t*, uint16_t*, int16_t*, int64_t*,
                              int64_t, int16_t*, int64_t*, int64_t*,
                              int32_t);
+int64_t acm_scan_corpus_chunk(const uint8_t*, const int64_t*, const int64_t*,
+                              const int64_t*, const int64_t*, int64_t,
+                              int32_t, int32_t, int64_t, int64_t, uint8_t*,
+                              uint8_t*, uint8_t*, uint8_t*, uint8_t*,
+                              uint8_t*, uint8_t*, uint8_t*, uint16_t*,
+                              int16_t*, int64_t*, int64_t, int64_t, int16_t*,
+                              int16_t*, int64_t*, int64_t*);
 int64_t acm_decode_host(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
                         int64_t, int64_t, int16_t*, uint32_t*, int16_t*,
                         int64_t*, int16_t*, int16_t*, uint32_t*, uint32_t*,
@@ -83,6 +90,34 @@ int main(int argc, char** argv) {
                        w8.data(), w16.data(), pwr.data(),
                        val.data(), ev.data(), tell.data(), maxev, col.data(),
                        meta.data(), bitpos.data(), /*final=*/1);
+  // batched chunk scan: the same stream twice, back to back (exercises
+  // the shared append-only payload streams + per-file slot strides)
+  {
+    std::vector<uint8_t> blob(2 * data.size());
+    std::memcpy(blob.data(), data.data(), data.size());
+    std::memcpy(blob.data() + data.size(), data.data(), data.size());
+    int64_t off[2] = {0, static_cast<int64_t>(data.size())};
+    int64_t lens2[2] = {n, n};
+    int64_t skips[2] = {skip, skip};
+    int64_t maxbs[2] = {maxb, maxb};
+    int64_t cstride = ncols <= 0 ? 1 : maxb * ((cols + 3) / 4);
+    std::vector<uint8_t> ccls(2 * cstride), cpwr(2 * maxb);
+    std::vector<uint16_t> cval(2 * maxb);
+    std::vector<uint8_t> cp4(2 * p4.size()), cp8(2 * p8.size()),
+        cp16(2 * p16.size());
+    std::vector<uint8_t> cw4(2 * w4.size()), cw8(2 * w8.size()),
+        cw16(2 * w16.size());
+    int64_t ev_cap = maxev;
+    std::vector<int16_t> evout(2 * ev_cap);
+    std::vector<int64_t> cmeta(16), cout(2 * 5);
+    acm_scan_corpus_chunk(blob.data(), off, lens2, skips, maxbs, 2, level,
+                          rows, maxb, cstride, ccls.data(), cp4.data(),
+                          cp8.data(), cp16.data(), cw4.data(), cw8.data(),
+                          cw16.data(), cpwr.data(), cval.data(), ev.data(),
+                          tell.data(), maxev, ev_cap, evout.data(),
+                          col.data(), cmeta.data(), cout.data());
+  }
+
   std::vector<int16_t> pcm(maxb * rows * cols), kbuf(rows * cols);
   std::vector<uint32_t> wrap(2 * cols), xb(rows * cols + cols), yb(rows * cols + cols);
   std::vector<uint32_t> tblv(17);

@@ -177,6 +177,11 @@ class RandomAccessCorpus:
         self._max_indexes = max(1, max_cached_indexes)
         self._data_lru: "dict[int, bytes]" = {}
         self._index_lru: "dict[int, tuple[BlockIndex, int]]" = {}
+        #: serving is typically multi-threaded; the LRUs mutate on every
+        #: read, so cache admission/eviction runs under one lock (the
+        #: segment decode itself is outside it — scans are GIL-free and
+        #: per-thread via the wire-buffer TLS)
+        self._lock = threading.Lock()
         #: optional on-disk index store (BlockIndex.to_bytes blobs keyed
         #: by content hash): a serving fleet pays each file's O(file)
         #: index scan once ever, not once per process
@@ -198,6 +203,10 @@ class RandomAccessCorpus:
         return hit
 
     def _entry(self, i: int):
+        with self._lock:
+            return self._entry_locked(i)
+
+    def _entry_locked(self, i: int):
         data = self._touch(self._data_lru, i, self._max_files,
                            lambda: self._read_source(self._sources[i]))
 

@@ -184,3 +184,21 @@ def test_random_access_corpus_index_dir(tmp_path):
     c = RandomAccessCorpus(files, index_dir=store)
     for i in range(3):
         np.testing.assert_array_equal(c.read(i, 3, 50), want[i])
+
+
+def test_random_access_corpus_thread_safety():
+    """Concurrent reads through a tiny LRU return correct PCM (cache
+    admission/eviction races would corrupt entries or crash)."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(15)
+    files = [testing.speech_acm_bytes(rng, level=3, rows=8, n_blocks=5)
+             for _ in range(6)]
+    rac = RandomAccessCorpus(files, max_cached_files=2)
+    want = [rac.read(i, 1, 30).copy() for i in range(6)]
+    order = rng.integers(0, 6, 120).tolist()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        got = list(ex.map(lambda i: (i, rac.read(i, 1, 30)), order))
+    for i, g in got:
+        np.testing.assert_array_equal(g, want[i])
+    assert rac.cached_files <= 2

@@ -192,6 +192,24 @@ def _read_source(src: Source) -> bytes:
         return f.read()
 
 
+def _reread_source(src: Source) -> bytes | None:
+    """Full stream bytes from the START, for a source that may already
+    have been consumed (the windowed scan is single-pass). None when the
+    source cannot be rewound (read()-only object): the caller must fail
+    loudly, not decode a tail as if it were the stream."""
+    if isinstance(src, (bytes, bytearray)):
+        return bytes(src)
+    if hasattr(src, "read"):
+        if not hasattr(src, "seek"):
+            return None
+        try:
+            src.seek(0)
+        except (OSError, ValueError):
+            return None
+        return bytes(src.read())
+    return _read_source(src)  # path-like: reopen
+
+
 def _peek_source(src: Source, n: int = 64) -> tuple[bytes, int]:
     """(first n bytes, total byte length) without slurping file sources.
 
@@ -1201,7 +1219,10 @@ def decode_stream_device(
     host-resident (the capability the reference approximates by
     streaming, decode.c:29,41-67); `source` may be a read()-only object.
     Default (None): one full-file window. Stale-amp-table streams
-    (hostile input) fall back to the exact host decoder (O(file)).
+    (hostile input) fall back to the exact host decoder (O(file)),
+    which re-reads the stream — from a consumed read()-only source that
+    is impossible, and a ValueError says so (AcmStream's windowed mode
+    handles hostile pipes exactly instead).
     """
     from ..ops.synth_jax import synth_pcm_cols, synth_pcm_cols_blob
     from ..scan import native as _native
@@ -1212,7 +1233,11 @@ def decode_stream_device(
         # one full-file window (and the only mode without the native
         # scanner, which then routes through the exact oracle fallback)
         try:
-            data = _read_source(source)
+            if hasattr(source, "read") and not isinstance(
+                    source, (bytes, bytearray)):
+                data = bytes(source.read())  # fresh read()-only object
+            else:
+                data = _read_source(source)
         except OSError as exc:
             raise AcmException(AcmError.ERR_OPEN) from exc
         header = parse_header(BitReader(data))
@@ -1298,8 +1323,17 @@ def decode_stream_device(
                 else np.zeros(0, dtype=np.int16))
     if state["oor"]:
         # stale-amp-table stream (hostile input) or no native scanner:
-        # only the exact host decode reproduces the reference
-        data = _read_source(source)
+        # only the exact host decode reproduces the reference — which
+        # needs the stream from the start (the dirty-table values depend
+        # on every prior block), so the source must be re-readable
+        data = _reread_source(source)
+        if data is None:
+            raise ValueError(
+                "hostile (stale-amp-table) stream from an unseekable "
+                "source: the exact decode must re-read the stream; pass "
+                "bytes/a path/a seekable object, or use "
+                "AcmStream(window_blocks=N), which reproduces the "
+                "stale-table semantics on the host in O(window) memory")
         _host_decode_fallback(e, data)
         nbp = max(_round_up(max(e.n_good, 1), n_shards), n_shards)
         full = np.zeros(nbp * bl, dtype=np.int16)

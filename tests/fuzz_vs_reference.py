@@ -273,6 +273,22 @@ def sharded_round(rng: np.random.Generator) -> None:
     n = int(rng.integers(3, 14))  # usually not a multiple of 8
     corpus = [bytes(_POOL[int(rng.integers(0, len(_POOL)))])
               for _ in range(n)]
+    try:
+        _sharded_check(rng, corpus)
+    except AssertionError:
+        # pooled inputs can't be regenerated from RNG state: save them
+        d = pathlib.Path(__file__).parent / "fuzz_fail_sharded"
+        d.mkdir(exist_ok=True)
+        for j, b in enumerate(corpus):
+            (d / f"m{j}.acm").write_bytes(b)
+        raise
+
+
+def _sharded_check(rng: np.random.Generator, corpus) -> None:
+    import jax
+
+    from libacm_tpu.parallel import decode_corpus_device, make_mesh
+
     host = decode_corpus(corpus, backend="host")
     mesh = make_mesh()
     dev = decode_corpus_device(
@@ -302,12 +318,33 @@ def stream_device_round(rng: np.random.Generator) -> None:
     from libacm_tpu.parallel.corpus import decode_stream_device
 
     data = bytes(_POOL[int(rng.integers(0, len(_POOL)))])
+    try:
+        _stream_device_check(rng, data)
+    except AssertionError:
+        # pooled rounds can't be regenerated from RNG state (the input
+        # came from the pool, not a fresh draw): save the ACTUAL stream
+        bad = pathlib.Path(__file__).parent / "fuzz_fail_pooled.acm"
+        bad.write_bytes(data)
+        raise
+
+
+def _stream_device_check(rng: np.random.Generator, data: bytes) -> None:
+    from libacm_tpu.parallel import make_mesh
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
     h = decode_corpus([data])[0]
     mesh = make_mesh(axis="blocks") if rng.random() < 0.5 else None
     wb = int(rng.integers(1, 6)) if rng.random() < 0.6 else None
-    src = _NoLenSource(data) if wb is not None else data
+    pipe = wb is not None and rng.random() < 0.5
+    src = _NoLenSource(data) if pipe else data
     try:
         pcm, meta = decode_stream_device(src, mesh=mesh, window_blocks=wb)
+    except ValueError as e:
+        # documented: a hostile (stale-amp-table) stream from a consumed
+        # unseekable source cannot be exactly re-decoded — but the SAME
+        # stream as re-readable bytes must then succeed
+        assert pipe and "stale-amp-table" in str(e), e
+        pcm, meta = decode_stream_device(data, mesh=mesh, window_blocks=wb)
     except Exception:
         assert h.pcm is None or h.status != 0, \
             "stream_device raised on a stream the host path decodes"

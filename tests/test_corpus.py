@@ -283,3 +283,53 @@ def test_decode_stream_device_windowed_matches_fullfile():
         nw = np.asarray(jax.device_get(p_win)).reshape(-1)
         n = min(len(nf), len(nw))
         np.testing.assert_array_equal(nf[:n], nw[:n])
+
+
+def test_decode_stream_device_hostile_unseekable_source():
+    """Fuzz-found (seed 2103 round 280): a stale-amp-table stream decoded
+    windowed from a read()-only source used to crash with a TypeError
+    deep in the fallback (the consumed pipe cannot be re-read). Contract
+    now: re-readable sources fall back to the exact host decode; a
+    consumed unseekable source raises the documented ValueError."""
+    import io as _io
+    import pathlib
+
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    data = (pathlib.Path(__file__).parent / "fixtures" /
+            "stale_table_fuzz_2103.acm").read_bytes()
+    host = decode_corpus([data])[0]
+    assert host.status == 0 and host.pcm is not None
+
+    # bytes source: exact fallback, windowed and full-file
+    for wb in (None, 2, 4):
+        pcm, meta = decode_stream_device(data, window_blocks=wb)
+        got = np.asarray(pcm).reshape(-1)
+        np.testing.assert_array_equal(got[: len(host.pcm)], host.pcm)
+        assert meta.status == host.status
+
+    # seekable object: rewound and exact
+    pcm, _ = decode_stream_device(_io.BytesIO(data), window_blocks=2)
+    np.testing.assert_array_equal(
+        np.asarray(pcm).reshape(-1)[: len(host.pcm)], host.pcm)
+
+    class _Pipe:
+        def __init__(self, b):
+            self._b = _io.BytesIO(b)
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+    with pytest.raises(ValueError, match="stale-amp-table"):
+        decode_stream_device(_Pipe(data), window_blocks=2)
+    # a CLEAN stream from the same pipe type stays fine (no regression)
+    rng = np.random.default_rng(8)
+    clean = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=6)
+    want = decode_corpus([clean])[0].pcm
+    pcm, _ = decode_stream_device(_Pipe(clean), window_blocks=2)
+    np.testing.assert_array_equal(
+        np.asarray(pcm).reshape(-1)[: len(want)], want)
+    # full-file mode slurps a fresh read()-only source too
+    pcm, _ = decode_stream_device(_Pipe(clean))
+    np.testing.assert_array_equal(
+        np.asarray(pcm).reshape(-1)[: len(want)], want)

@@ -157,7 +157,7 @@ def relay_probe() -> float:
     return time.perf_counter() - t0
 
 
-def wait_for_relay(budget_s: float = 900.0) -> float:
+def wait_for_relay(budget_s: float = 1500.0) -> float:
     """Probe until the relay looks usable (or the budget runs out).
 
     Returns the last probe. Waiting for a usable shared link is

@@ -673,8 +673,13 @@ inline void sink_apply_lut<BitPackSink>(BitPackSink& s, int i,
   s.put_packed(i, e.packw);
 }
 
+#ifndef MAP_LUT_BITS
+#define MAP_LUT_BITS 8
+#endif
+
 struct MapLut {
-  MapLutEntry e[8][256];
+  static constexpr int BITS = MAP_LUT_BITS;  // peek-window width
+  MapLutEntry e[8][1 << BITS];
   int8_t slot[32];
 
   struct SimSink {
@@ -689,18 +694,29 @@ struct MapLut {
     for (int i = 0; i < 32; i++) slot[i] = -1;
     for (int f = 0; f < 8; f++) {
       slot[FILLERS[f]] = static_cast<int8_t>(f);
-      for (int pat = 0; pat < 256; pat++) {
-        uint8_t byte = static_cast<uint8_t>(pat);
-        BitReader b(&byte, 1, /*final_data=*/false);  // exactly 8 bits
+      for (int pat = 0; pat < (1 << BITS); pat++) {
+        uint8_t bytes[2] = {static_cast<uint8_t>(pat),
+                            static_cast<uint8_t>(pat >> 8)};
+        BitReader b(bytes, (BITS + 7) / 8, /*final_data=*/false);
         SimSink s;
         int i = 0;
         int64_t good_bits = 0;
         while (i < 16) {  // value nibbles must fit the u64
-          // snapshot-and-step: a symbol that would cross the 8-bit
-          // boundary EOFs the 1-byte reader and is discarded whole
+          // snapshot-and-step: a symbol that would cross the BITS-wide
+          // window (EOF on a byte boundary, or the explicit consumed
+          // check for BITS % 8 != 0) is rolled back whole — reader,
+          // row cursor, AND sink (one_step writes the sink before a
+          // non-EOF return)
           BitReader saved = b;
+          int saved_i = i;
+          uint64_t saved_nibs = s.nibs;
           int rc = one_step<true, SimSink>(b, FILLERS[f], 1 << 20, i, s);
-          if (rc != 0) { b = saved; break; }
+          if (rc != 0 || b.consumed_bits() > BITS) {
+            b = saved;
+            i = saved_i;
+            s.nibs = saved_nibs;
+            break;
+          }
           good_bits = b.consumed_bits();
         }
         // repack the nibble values at the filler's wire width (values at
@@ -732,13 +748,15 @@ inline int decode_map_col(BitReader& b, int slot, int ind, int rows,
                           Sink& s) {
   int i = 0;
   const MapLutEntry* lut = MAP_LUT.e[slot];
+  constexpr int W = MapLut::BITS;
+  constexpr uint32_t MASK = (1u << W) - 1;
   while (i < rows) {
-    if (!b.ensure(32) || b.avail < 8) {
+    if (!b.ensure(32) || b.avail < W) {
       int rc = one_step<true, Sink>(b, ind, rows, i, s);
       if (rc != 0) return rc;
       continue;
     }
-    const MapLutEntry& e = lut[static_cast<uint32_t>(b.res) & 0xFF];
+    const MapLutEntry& e = lut[static_cast<uint32_t>(b.res) & MASK];
     if (i + e.nrows <= rows) {
       if (e.nibs) sink_apply_lut(s, i, e);
       b.res >>= e.nbits;
@@ -1318,10 +1336,16 @@ struct PackedEmitter {
     int i = 0;
     while (i < rows) {
       if (b.ensure(32)) {
-        while (s.nacc >= 8) {  // make room for up to 56 fresh bits
-          *s.ptr++ = static_cast<uint8_t>(s.acc);
-          s.acc >>= 8;
-          s.nacc -= 8;
+        if (s.nacc >= 8) {  // make room for up to 56 fresh bits: ONE
+          // 8-byte store instead of a byte-at-a-time drain; the tail
+          // scribble beyond the whole bytes is overwritten by the
+          // stream's next store, a later column's reserve(), or lands
+          // in the buffer's PAY_SLACK tail
+          std::memcpy(s.ptr, &s.acc, 8);
+          const int nb = s.nacc >> 3;
+          s.ptr += nb;
+          s.acc >>= 8 * nb;
+          s.nacc &= 7;
         }
         int nf = b.avail / w;
         const int maxf = (56 - s.nacc) / w;

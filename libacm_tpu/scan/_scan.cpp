@@ -773,7 +773,41 @@ inline int decode_map_col(BitReader& b, int slot, int ind, int rows,
 template <typename Sink>
 inline int decode_linear_col(BitReader& b, int ind, int rows, Sink& s) {
   const int middle = 1 << (ind - 1);
+  const uint32_t m = (1u << ind) - 1;
   int i = 0;
+  // Four fields per reservoir snapshot (4*ind <= 32 bits, guaranteed by
+  // ensure(32) for ind <= 8 — the bulk of real corpora): one avail/res
+  // update per group instead of per field. Values, consumed-bit
+  // positions, and failure sites are unchanged (the tail loop below is
+  // the strict-paced original).
+  if (ind <= 8) {
+    const int step = 4 * ind;
+    while (i + 4 <= rows && b.ensure(32)) {
+      uint64_t r = b.res;
+      s.put(i, static_cast<int>(static_cast<uint32_t>(r) & m) - middle);
+      s.put(i + 1,
+            static_cast<int>(static_cast<uint32_t>(r >> ind) & m) - middle);
+      s.put(i + 2, static_cast<int>(static_cast<uint32_t>(r >> (2 * ind)) & m)
+                       - middle);
+      s.put(i + 3, static_cast<int>(static_cast<uint32_t>(r >> (3 * ind)) & m)
+                       - middle);
+      b.res = r >> step;
+      b.avail -= step;
+      i += 4;
+    }
+  } else {
+    // wide fields (9..16 bits): two per snapshot (2*ind <= 32)
+    const int step = 2 * ind;
+    while (i + 2 <= rows && b.ensure(32)) {
+      uint64_t r = b.res;
+      s.put(i, static_cast<int>(static_cast<uint32_t>(r) & m) - middle);
+      s.put(i + 1,
+            static_cast<int>(static_cast<uint32_t>(r >> ind) & m) - middle);
+      b.res = r >> step;
+      b.avail -= step;
+      i += 2;
+    }
+  }
   while (i < rows) {
     if (b.ensure(32)) {
       int nfit = b.avail / ind;

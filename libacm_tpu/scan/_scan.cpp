@@ -1078,7 +1078,8 @@ struct DenseEmitter {
 // passes — L in {1,2,4,8} with thousands of rows — as scalar loop
 // overhead). n is always a multiple of 2L (n = rows<<(p+1) * L).
 template <int L>
-inline void pass_body_fixed(const uint32_t* x, uint32_t* y, int64_t n) {
+inline void pass_body_fixed(const uint32_t* __restrict x,
+                            uint32_t* __restrict y, int64_t n) {
   for (int64_t i = 0; i < n; i += 2 * L) {
     for (int j = 0; j < L; j++)
       y[i + j] = x[i + j] + x[i + j - 2 * L] + 2u * x[i + j - L];
@@ -1087,8 +1088,8 @@ inline void pass_body_fixed(const uint32_t* x, uint32_t* y, int64_t n) {
   }
 }
 
-inline void pass_body_generic(const uint32_t* x, uint32_t* y, int64_t n,
-                              int L) {
+inline void pass_body_generic(const uint32_t* __restrict x,
+                              uint32_t* __restrict y, int64_t n, int L) {
   for (int64_t i = 0; i < n; i += 2 * L) {
     for (int j = 0; j < L; j++)
       y[i + j] = x[i + j] + x[i + j - 2 * L] + 2u * x[i + j - L];
@@ -1130,9 +1131,9 @@ inline uint32_t dq(const int16_t* k, int64_t i, uint32_t val) {
 // three cheap SIMD multiplies trade for a full write+read of the block).
 // `hist` is the pass-0 wrap segment (2L raw == dequantized-k words),
 // consumed only by the first period, so the caller may overwrite it after.
-inline void pass0_dequant(const int16_t* k, uint32_t val,
-                          const uint32_t* hist, uint32_t* y, int64_t n,
-                          int L) {
+inline void pass0_dequant(const int16_t* __restrict k, uint32_t val,
+                          const uint32_t* __restrict hist,
+                          uint32_t* __restrict y, int64_t n, int L) {
   auto xk = [&](int64_t i) { return dq(k, i, val); };
   auto x0 = [&](int64_t i) { return i < 0 ? hist[2 * L + i] : xk(i); };
   for (int j = 0; j < L; j++)

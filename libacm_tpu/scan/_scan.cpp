@@ -1500,9 +1500,13 @@ int64_t acm_scan_blocks_packed(const uint8_t* data, int64_t nbytes,
   const int cols = 1 << level;
   PackedEmitter em{cls_out, {pay4, pay8, pay16}, {wid4, wid8, wid16},
                    pwr_out, val_out, rows, cols};
-  int64_t rc = scan_driver(data, nbytes, skip_bits, level, rows, cols,
-                           max_blocks, max_events, events_out, tell_out, meta,
-                           col_tmp, em);
+  // FAST: same direct wire emission + multi-symbol LUT as the corpus
+  // entry (values/consumed bits/failure sites fuzz-pinned equal to the
+  // strict driver); this one-shot API serves index building and the
+  // standalone scan benchmark, which deserve the real scanner.
+  int64_t rc = scan_driver<PackedEmitter, /*FAST=*/true>(
+      data, nbytes, skip_bits, level, rows, cols, max_blocks, max_events,
+      events_out, tell_out, meta, col_tmp, em);
   for (int k = 0; k < 3; k++) {
     meta[5 + k] = em.ncol[k];
     meta[12 + k] = em.bits[k];

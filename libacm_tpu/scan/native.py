@@ -526,6 +526,32 @@ def scan_corpus_chunk(
             (int(m[12]), int(m[13]), int(m[14])))
 
 
+#: Per-thread scratch for scan_bytes_packed: the PackedEmitter tolerates
+#: stale buffer content by design (begin_block memsets its cls row; width
+#: nibbles overwrite whole bytes on even columns; BitStreamSink masks the
+#: partial start byte and flushes zero high bits), and every array the
+#: caller sees is a copy/slice whose undefined slack is re-zeroed below —
+#: so reuse is safe and saves the dominant cost of the one-shot API
+#: (np.zeros of generously-capped streams per file: measured ~2.4x wall
+#: on the bench corpus). Buffers above _SCRATCH_CAP bytes are not pooled.
+_PACKED_TLS = threading.local()
+_SCRATCH_CAP = 256 << 20
+
+
+def _pool_scratch(name: str, n: int, dtype) -> np.ndarray:
+    nbytes = n * np.dtype(dtype).itemsize
+    if nbytes > _SCRATCH_CAP:
+        return np.empty(n, dtype=dtype)
+    pool = getattr(_PACKED_TLS, "pool", None)
+    if pool is None:
+        pool = _PACKED_TLS.pool = {}
+    a = pool.get(name)
+    if a is None or a.size < n:
+        a = pool[name] = np.empty(max(n, 2 * (a.size if a is not None else 0)),
+                                  dtype=dtype)
+    return a[:n]
+
+
 def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     """Native scan straight into the corpus wire format (see PackedScan)."""
     lib, header, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
@@ -533,17 +559,19 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     ncols_cap = max_blocks * cols
     c4, c8, c16, cw = pay_stream_caps(ncols_cap, rows)
 
-    cls = np.zeros((max_blocks, (cols + 3) // 4), dtype=np.uint8)
-    pay4 = np.zeros(c4, dtype=np.uint8)
-    pay8 = np.zeros(c8, dtype=np.uint8)
-    pay16 = np.zeros(c16, dtype=np.uint8)
-    wid4 = np.zeros(cw, dtype=np.uint8)
-    wid8 = np.zeros(cw, dtype=np.uint8)
-    wid16 = np.zeros(cw, dtype=np.uint8)
-    pwr = np.zeros(max_blocks, dtype=np.uint8)
-    val = np.zeros(max_blocks, dtype=np.uint16)
-    events = np.zeros(max_events, dtype=np.int16)
-    tell = np.zeros(max_events, dtype=np.int64)
+    stride = (cols + 3) // 4
+    cls = _pool_scratch("cls", max_blocks * stride, np.uint8).reshape(
+        max_blocks, stride)
+    pay4 = _pool_scratch("pay4", c4, np.uint8)
+    pay8 = _pool_scratch("pay8", c8, np.uint8)
+    pay16 = _pool_scratch("pay16", c16, np.uint8)
+    wid4 = _pool_scratch("wid4", cw, np.uint8)
+    wid8 = _pool_scratch("wid8", cw, np.uint8)
+    wid16 = _pool_scratch("wid16", cw, np.uint8)
+    pwr = _pool_scratch("pwr", max_blocks, np.uint8)
+    val = _pool_scratch("val", max_blocks, np.uint16)
+    events = _pool_scratch("events", max_events, np.int16)
+    tell = _pool_scratch("tell", max_events, np.int64)
     col_tmp = np.zeros(rows, dtype=np.int16)
     meta = np.zeros(16, dtype=np.int64)
 
@@ -565,18 +593,28 @@ def scan_bytes_packed(data: bytes, max_blocks: int | None = None) -> PackedScan:
     n_blocks = int(meta[0])
     ncol = (int(meta[5]), int(meta[6]), int(meta[7]))
     bits = (int(meta[12]), int(meta[13]), int(meta[14]))
+
+    def pay_copy(a: np.ndarray, nbits: int) -> np.ndarray:
+        # bytes past ceil(nbits/8) in the even-rounded +2 slack were never
+        # written this call (pooled scratch) — zero them so the wire bytes
+        # stay deterministic (byte-equality tests, relay dedup)
+        nwr = -(-nbits // 8)
+        out = a[: _even(nwr + 2)].copy()
+        out[nwr:] = 0
+        return out
+
     return PackedScan(
         header=header,
         n_blocks=n_blocks,
         cls=unpack_cls(cls[:n_blocks], cols),
-        pay4=pay4[: _even(-(-bits[0] // 8) + 2)].copy(),
-        pay8=pay8[: _even(-(-bits[1] // 8) + 2)].copy(),
-        pay16=pay16[: _even(-(-bits[2] // 8) + 2)].copy(),
+        pay4=pay_copy(pay4, bits[0]),
+        pay8=pay_copy(pay8, bits[1]),
+        pay16=pay_copy(pay16, bits[2]),
         wid4=wid4[: -(-ncol[0] // 2)].copy(),
         wid8=wid8[: -(-ncol[1] // 2)].copy(),
         wid16=wid16[: -(-ncol[2] // 2)].copy(),
-        pwr=pwr[:n_blocks],
-        val=val[:n_blocks],
+        pwr=pwr[:n_blocks].copy(),  # pooled scratch: views must not escape
+        val=val[:n_blocks].copy(),
         events=events[: int(meta[1])].copy(),
         status=int(meta[2]),
         n_cols=ncol,

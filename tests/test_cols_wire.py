@@ -75,3 +75,27 @@ def test_corpus_cols_wire_matches_reference_paths():
     for x, y in zip(a, b):
         assert x.status == y.status
         np.testing.assert_array_equal(x.pcm, y.pcm)
+
+
+def test_packed_scan_pooled_scratch_determinism():
+    """scan_bytes_packed reuses per-thread scratch buffers; results must be
+    (a) byte-identical however the pool was dirtied by other files, and
+    (b) real copies that survive later calls overwriting the pool."""
+    rng = np.random.default_rng(77)
+    small = testing.random_acm_bytes(rng, level=2, rows=7, n_blocks=3)
+    big = testing.random_acm_bytes(rng, level=7, rows=16, n_blocks=20,
+                                   max_pwr=9)
+    fields = ("cls", "pay4", "pay8", "pay16", "wid4", "wid8", "wid16",
+              "pwr", "val", "events")
+    ref = {n: getattr(native.scan_bytes_packed(small), n).copy()
+           for n in fields}
+    # dirty the pool with a bigger geometry, then rescan the small file
+    native.scan_bytes_packed(big)
+    got = native.scan_bytes_packed(small)
+    for n in fields:
+        np.testing.assert_array_equal(getattr(got, n), ref[n], err_msg=n)
+    # the returned arrays must be detached from the pool: scanning the big
+    # file again must not mutate them
+    native.scan_bytes_packed(big)
+    for n in fields:
+        np.testing.assert_array_equal(getattr(got, n), ref[n], err_msg=n)

@@ -153,6 +153,37 @@ def time_reference_once(ref: pathlib.Path, files: list[pathlib.Path]) -> float:
 HEALTHY_MBPS = 60.0
 
 
+def _deadline(fn, seconds: float, label: str):
+    """Run fn() with a hard wall-clock bound.
+
+    A fully STALLED relay makes jax.device_put block indefinitely — no
+    exception, no return — which would hang the bench past any budget and
+    lose the artifact. The call runs in a daemon thread; on timeout the
+    (possibly forever-blocked) thread is abandoned and (None, False) is
+    returned. jax dispatch is thread-safe, so later device calls from the
+    main flow are unaffected; an eventually-completing zombie op is
+    discarded."""
+    import threading
+
+    box = [None, None]
+
+    def runner():
+        try:
+            box[0] = fn()
+        except BaseException as exc:  # re-raised in the caller's thread
+            box[1] = exc
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        log(f"  {label}: no response in {seconds:.0f} s (stalled link)")
+        return None, False
+    if box[1] is not None:
+        raise box[1]
+    return box[0], True
+
+
 def relay_probe() -> tuple[float, float]:
     """(RTT seconds, bulk bandwidth MB/s) for the device link.
 
@@ -190,7 +221,8 @@ def wait_for_relay(budget_s: float) -> tuple[float, float]:
     whatever window we do run, interleaved."""
     deadline = time.time() + budget_s
     while True:
-        rtt, mbps = relay_probe()
+        res, ok = _deadline(relay_probe, 240.0, "relay probe")
+        rtt, mbps = res if ok else (float("inf"), 0.0)
         log(f"relay probe: rtt={rtt:.2f} s, bulk={mbps:.1f} MB/s")
         if mbps >= HEALTHY_MBPS or time.time() > deadline:
             return rtt, mbps
@@ -224,16 +256,24 @@ def time_all(
     paths = [str(f) for f in files]
     want_sum = None
 
-    def run_device(backend: str = "auto") -> float:
+    def run_device(backend: str = "auto", timeout_s: float = 420.0) -> float:
         """One timed device-resident decode; retries once after a pause on
         relay transport errors (the remote compile/execute service drops
-        connections under load — a transient, not a result)."""
+        connections under load — a transient, not a result). Deadline-
+        guarded: a stalled link raises TimeoutError instead of hanging."""
         nonlocal want_sum
+
+        def attempt_once():
+            corpus = decode_corpus_device(paths, backend=backend)
+            return corpus.checksum()
+
         for attempt in (0, 1):
             t0 = time.perf_counter()
             try:
-                corpus = decode_corpus_device(paths, backend=backend)
-                cs = corpus.checksum()
+                cs, ok = _deadline(attempt_once, timeout_s,
+                                   f"device run ({backend})")
+                if not ok:
+                    raise TimeoutError("device run stalled")
             except ValueError:
                 raise  # semantic (unsupported backend), not transport
             except Exception as exc:
@@ -268,7 +308,7 @@ def time_all(
     device_ok = n_dev > 0
     if device_ok:
         try:
-            run_device()
+            run_device(timeout_s=900.0)  # first run may compile cold
         except Exception as exc:
             # never lose the whole artifact to a dead link: fall back to
             # host-only measurement, device fields null
@@ -299,7 +339,8 @@ def time_all(
     budget = deadline - time.time()
     dev_lost = not dev_t or (ref_t and min(dev_t) > min(ref_t))
     if not healthy and dev_lost and budget > 240:
-        _, mbps = relay_probe()
+        res, ok = _deadline(relay_probe, 240.0, "relay probe")
+        mbps = res[1] if ok else 0.0
         if mbps < HEALTHY_MBPS:
             log("device path ran link-bound; waiting for one healthy window...")
             _, mbps = wait_for_relay(min(600.0, budget - 180))

@@ -184,6 +184,18 @@ def _deadline(fn, seconds: float, label: str):
     return box[0], True
 
 
+def safe_probe(label: str = "relay probe") -> tuple[float, float]:
+    """Deadline-guarded relay_probe that maps stalls AND transport
+    exceptions to (inf, 0.0): a probe can only ever degrade the health
+    verdict, never crash the artifact."""
+    try:
+        res, ok = _deadline(relay_probe, 240.0, label)
+    except Exception as exc:
+        log(f"  {label}: failed ({type(exc).__name__})")
+        return float("inf"), 0.0
+    return res if ok else (float("inf"), 0.0)
+
+
 def relay_probe() -> tuple[float, float]:
     """(RTT seconds, bulk bandwidth MB/s) for the device link.
 
@@ -221,8 +233,7 @@ def wait_for_relay(budget_s: float) -> tuple[float, float]:
     whatever window we do run, interleaved."""
     deadline = time.time() + budget_s
     while True:
-        res, ok = _deadline(relay_probe, 240.0, "relay probe")
-        rtt, mbps = res if ok else (float("inf"), 0.0)
+        rtt, mbps = safe_probe()
         log(f"relay probe: rtt={rtt:.2f} s, bulk={mbps:.1f} MB/s")
         if mbps >= HEALTHY_MBPS or time.time() > deadline:
             return rtt, mbps
@@ -338,25 +349,37 @@ def time_all(
     # unaffected and the protocol stays interleaved-fair.
     budget = deadline - time.time()
     dev_lost = not dev_t or (ref_t and min(dev_t) > min(ref_t))
-    if not healthy and dev_lost and budget > 240:
-        res, ok = _deadline(relay_probe, 240.0, "relay probe")
-        mbps = res[1] if ok else 0.0
+    if dev_lost and budget > 240:
+        # Device lost (or never ran): re-probe the link NOW — the pre-round
+        # probe may have read healthy and the link collapsed mid-run, or
+        # vice versa. `healthy` must describe the window min(dev_t) came
+        # from, so from here it is earned only by a completed retry round
+        # (or by a genuinely healthy link with the existing rounds).
+        _, mbps = safe_probe()
         if mbps < HEALTHY_MBPS:
+            healthy = False
             log("device path ran link-bound; waiting for one healthy window...")
             _, mbps = wait_for_relay(min(600.0, budget - 180))
         if mbps >= HEALTHY_MBPS:
-            healthy = True
+            retried = 0
             try:
                 for i in range(3):
+                    left = deadline - time.time()
+                    if left < 90:
+                        break
                     if ref is not None:
                         ref_t.append(time_reference_once(ref, files))
-                    dev_t.append(run_device())
-                    log(f"  retry round {i}: ref={ref_t[-1]:.3f} "
+                    dev_t.append(run_device(timeout_s=min(420.0, left - 30)))
+                    retried += 1
+                    log(f"  retry round {i}: "
+                        f"ref={ref_t[-1] if ref_t else float('nan'):.3f} "
                         f"device={dev_t[-1]:.3f} s")
                     time.sleep(1.5)
             except Exception as exc:
                 log(f"  retry rounds abandoned ({type(exc).__name__})")
-                healthy = bool(dev_t)
+            # a completed retry round is the only proof this window ran at
+            # decoder speed; transport failures leave it unproven
+            healthy = retried > 0
         device_ok = device_ok or bool(dev_t)
 
     # The backend shootout is diagnostic stderr + two JSON fields; in a
@@ -365,13 +388,16 @@ def time_all(
     shoot = {}
     run_shootout = device_ok and (healthy or not dev_t)
     for backend in ("jax", "pallas") if run_shootout else ():
-        if time.time() > deadline - 60:
-            log(f"  backend {backend}: skipped (budget)")
-            shoot[backend] = None
-            continue
         try:
-            run_device(backend)  # warmup/compile
-            bt = min(run_device(backend) for _ in range(3))
+            times = []
+            for i in range(4):  # warmup/compile + 3 timed
+                left = deadline - time.time()
+                if left < 90:
+                    raise TimeoutError("budget")
+                t = run_device(backend, timeout_s=min(420.0, left - 30))
+                if i:
+                    times.append(t)
+            bt = min(times)
             shoot[backend] = round(total_samples / bt / 1e6, 1)
             log(f"  backend {backend}: {bt:.3f} s = {shoot[backend]} Msamples/s")
         except Exception as e:  # pallas may be unsupported on this backend
@@ -402,11 +428,11 @@ def _scan_once(native, datas) -> float:
     return time.perf_counter() - t0
 
 
-def pallas_parity_sweep() -> str:
+def pallas_parity_sweep(timeout_s: float = 900.0) -> str:
     """On-HW pallas-vs-XLA sweep in a subprocess (timeout-bounded)."""
     sweep = pathlib.Path(__file__).parent / "tools" / "pallas_parity_sweep.py"
     try:
-        r = subprocess.run([sys.executable, str(sweep)], timeout=900,
+        r = subprocess.run([sys.executable, str(sweep)], timeout=timeout_s,
                            capture_output=True, text=True)
     except subprocess.TimeoutExpired:
         return "sweep timed out (remote compile service)"
@@ -442,13 +468,56 @@ def main() -> int:
     if ref is None:
         log("reference binary unavailable; vs_baseline=null")
 
-    import jax
+    try:
+        return _measure_and_report(files, n_files, ref, total_samples,
+                                   budget_s, deadline, t_start)
+    except Exception as exc:
+        # LAST-RESORT artifact: whatever blew up (an unforeseen device/
+        # transport error escaping the guards), the one-JSON-line contract
+        # holds — re-time the host path (pure host work, no device) and
+        # report it as the headline, flagged.
+        log(f"measurement crashed ({type(exc).__name__}: {exc}); "
+            "emitting host-only artifact")
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_corpus([str(f) for f in files])
+            best = min(best, time.perf_counter() - t0)
+        host_msps = total_samples / best / 1e6
+        ref_msps = None
+        if ref is not None:
+            rbest = min(time_reference_once(ref, files) for _ in range(3))
+            ref_msps = total_samples / rbest / 1e6
+        print(json.dumps({
+            "metric": "corpus_decode_Msamples_per_s",
+            "value": round(host_msps, 2),
+            "unit": "Msamples/s",
+            "vs_baseline": (round(host_msps / ref_msps, 3)
+                            if ref_msps else None),
+            "headline_path": "host-crashfallback",
+            "host_path_Msamples_per_s": round(host_msps, 2),
+            "bench_wall_s": round(time.time() - t_start, 1),
+        }), flush=True)
+        return 0
 
-    remote = jax.default_backend() not in ("cpu", "gpu")
-    if remote:
+
+def _measure_and_report(files, n_files, ref, total_samples, budget_s,
+                        deadline, t_start) -> int:
+    def backend_name():
+        import jax
+
+        return jax.default_backend()
+
+    # even backend enumeration can stall on a dead tunnel — guarded, and a
+    # stall is treated as a remote backend with a dead link
+    bk, ok = _deadline(backend_name, 300.0, "backend detection")
+    remote = bk not in ("cpu", "gpu") if ok else True
+    if remote and ok:
         # leave >= ~900 s of budget for the timed rounds themselves
         probe_s, link_mbps = wait_for_relay(
             max(0.0, min(budget_s - 900, deadline - time.time() - 900)))
+    elif remote:
+        probe_s, link_mbps = float("inf"), 0.0
     else:
         probe_s, link_mbps = 0.0, float("inf")
     healthy = link_mbps >= HEALTHY_MBPS
@@ -485,19 +554,17 @@ def main() -> int:
         log("framework (device-resident): UNAVAILABLE this window")
     log(f"framework (PCM fetched to host): {host_s:.3f} s = "
         f"{host_msps:.1f} Msamples/s")
-    if dev_msps is not None and healthy:
+    dev_won = (dev_msps is not None and ref_msps is not None
+               and dev_msps >= ref_msps)
+    if dev_msps is not None and (healthy or dev_won):
+        # dev_won in a degraded window undersells the device (it beat the
+        # reference through a throttled link) — still the honest headline
         fw_msps, headline = dev_msps, "device"
     else:
         fw_msps, headline = host_msps, ("host-linkbound" if dev_msps is not None
                                         else "host")
         log(f"headline falls back to the host path ({headline}): "
             f"link bulk bandwidth {link_mbps:.1f} MB/s this window")
-
-    if remote and healthy and time.time() < deadline - 120:
-        log("pallas parity sweep (levels 1-12, on hardware):")
-        log(f"  sweep: {pallas_parity_sweep()}")
-    elif remote:
-        log("pallas parity sweep: skipped (degraded link or budget)")
 
     print(json.dumps({
         "metric": "corpus_decode_Msamples_per_s",
@@ -519,7 +586,16 @@ def main() -> int:
         "link_MBps": (round(link_mbps, 1)
                       if link_mbps != float("inf") else None),
         "bench_wall_s": round(time.time() - t_start, 1),
-    }))
+    }), flush=True)
+
+    # Diagnostics AFTER the artifact is out (stderr only): a watchdog kill
+    # from here on cannot lose the round's number.
+    sweep_budget = deadline - time.time() - 30
+    if remote and healthy and sweep_budget > 120:
+        log("pallas parity sweep (levels 1-12, on hardware):")
+        log(f"  sweep: {pallas_parity_sweep(min(900.0, sweep_budget))}")
+    elif remote:
+        log("pallas parity sweep: skipped (degraded link or budget)")
     return 0
 
 

@@ -540,15 +540,20 @@ _SCRATCH_CAP = 256 << 20
 
 def _pool_scratch(name: str, n: int, dtype) -> np.ndarray:
     nbytes = n * np.dtype(dtype).itemsize
-    if nbytes > _SCRATCH_CAP:
-        return np.empty(n, dtype=dtype)
     pool = getattr(_PACKED_TLS, "pool", None)
     if pool is None:
         pool = _PACKED_TLS.pool = {}
     a = pool.get(name)
-    if a is None or a.size < n:
-        a = pool[name] = np.empty(max(n, 2 * (a.size if a is not None else 0)),
-                                  dtype=dtype)
+    if a is not None and a.size >= n:
+        return a[:n]
+    # _SCRATCH_CAP bounds the POOL, not the allocation: one oversized file
+    # (or many threads) must not pin hundreds of MB of dead scratch for
+    # the process lifetime — beyond the budget, allocate fresh/unpooled.
+    grown = max(n, 2 * (a.size if a is not None else 0))
+    held = sum(v.nbytes for k, v in pool.items() if k != name)
+    if held + grown * np.dtype(dtype).itemsize > _SCRATCH_CAP:
+        return np.empty(n, dtype=dtype)
+    a = pool[name] = np.empty(grown, dtype=dtype)
     return a[:n]
 
 

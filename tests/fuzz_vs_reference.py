@@ -404,17 +404,29 @@ def main():
     n = 0
     kinds = {}
     while time.time() - t0 < budget:
-        if n and n % 1000 == 0:
+        if n and n % 200 == 0:
             # every random geometry compiles a fresh XLA program; a
             # multi-hour single process otherwise accumulates thousands of
-            # them until the CPU JIT's code memory runs dry (observed:
-            # LLVM "Cannot allocate memory" + segfault after ~35k rounds;
-            # the 8-device shard_map rounds shrank that to ~10k, hence
-            # the 1000-round interval — long campaigns should still
-            # prefer several shorter processes over one huge one)
+            # them until the process hits vm.max_map_count (65530 here —
+            # observed as LLVM "Cannot allocate memory" + segfault, seed
+            # 9103: ~70 new maps/round meant the ceiling arrived BEFORE
+            # the old 1000-round clear). Rounds almost never share shapes,
+            # so the cache has no cross-round hit value and clearing
+            # aggressively is free; the map-count guard below catches
+            # map-hungry round mixes even sooner.
             import jax
 
             jax.clear_caches()
+        elif n and n % 50 == 0:
+            try:
+                with open(f"/proc/{os.getpid()}/maps") as mf:
+                    heavy = sum(1 for _ in mf) > 30000
+            except OSError:
+                heavy = False
+            if heavy:
+                import jax
+
+                jax.clear_caches()
         state = rng.bit_generator.state
         try:
             kind = one_round(rng)

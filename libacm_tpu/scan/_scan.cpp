@@ -479,11 +479,16 @@ struct BitStreamSink {
     }
   }
   inline void flush() {  // final partial bytes, high bits zero
-    while (nacc > 0) {
-      *ptr++ = static_cast<uint8_t>(acc);
-      acc >>= 8;
-      nacc -= 8;
-    }
+    // one 8-byte store instead of a byte-drain loop: acc's bits above
+    // nacc are zero by construction, so the scribble past the frontier
+    // is deterministic zeros; callers' payload buffers carry >=
+    // PAY_SLACK (16) tail bytes and the next column's at()/stores
+    // overwrite everything from the frontier byte on. The sink is
+    // per-column and dead after flush.
+    std::memcpy(ptr, &acc, 8);
+    ptr += (nacc + 7) >> 3;
+    acc = 0;
+    nacc = 0;
   }
 };
 

@@ -13,7 +13,8 @@ from .corpus import (
     make_mesh,
     resolve_device_backend,
 )
-from .random_access import BlockIndex, build_index, read_segment
+from .random_access import (BlockIndex, RandomAccessCorpus, build_index,
+                            read_segment)
 
 __all__ = [
     "BlockIndex",
@@ -29,5 +30,6 @@ __all__ = [
     "effective_stop",
     "make_mesh",
     "resolve_device_backend",
+    "RandomAccessCorpus",
     "read_segment",
 ]

@@ -404,25 +404,22 @@ def main():
     n = 0
     kinds = {}
     while time.time() - t0 < budget:
-        if n and n % 200 == 0:
+        if n and n % 50 == 0:
             # every random geometry compiles a fresh XLA program; a
             # multi-hour single process otherwise accumulates thousands of
             # them until the process hits vm.max_map_count (65530 here —
             # observed as LLVM "Cannot allocate memory" + segfault, seed
-            # 9103: ~70 new maps/round meant the ceiling arrived BEFORE
-            # the old 1000-round clear). Rounds almost never share shapes,
-            # so the cache has no cross-round hit value and clearing
-            # aggressively is free; the map-count guard below catches
-            # map-hungry round mixes even sooner.
-            import jax
-
-            jax.clear_caches()
-        elif n and n % 50 == 0:
+            # 9103: ~70 new maps/round meant the ceiling arrived BEFORE a
+            # 1000-round periodic clear). Clear on measured map count:
+            # worst observed growth is ~100 maps/round, so checking every
+            # 50 rounds against a 30k threshold bounds the peak near
+            # ~35k — and avoids gratuitous recompiles of the expensive
+            # sharded-mesh programs while the count is low.
             try:
                 with open(f"/proc/{os.getpid()}/maps") as mf:
                     heavy = sum(1 for _ in mf) > 30000
             except OSError:
-                heavy = False
+                heavy = n % 1000 == 0  # no /proc: periodic fallback
             if heavy:
                 import jax
 

@@ -184,12 +184,17 @@ def _deadline(fn, seconds: float, label: str):
     return box[0], True
 
 
-def safe_probe(label: str = "relay probe") -> tuple[float, float]:
+def safe_probe(label: str = "relay probe",
+               timeout_s: float = 240.0) -> tuple[float, float]:
     """Deadline-guarded relay_probe that maps stalls AND transport
     exceptions to (inf, 0.0): a probe can only ever degrade the health
-    verdict, never crash the artifact."""
+    verdict, never crash the artifact. On a fully STALLED relay the probe
+    costs its whole timeout — callers must clamp timeout_s to the time
+    they can actually afford (a healthy link answers in seconds)."""
+    if timeout_s < 5:
+        return float("inf"), 0.0
     try:
-        res, ok = _deadline(relay_probe, 240.0, label)
+        res, ok = _deadline(relay_probe, timeout_s, label)
     except Exception as exc:
         log(f"  {label}: failed ({type(exc).__name__})")
         return float("inf"), 0.0
@@ -233,9 +238,12 @@ def wait_for_relay(budget_s: float) -> tuple[float, float]:
     whatever window we do run, interleaved."""
     deadline = time.time() + budget_s
     while True:
-        rtt, mbps = safe_probe()
+        left = deadline - time.time()
+        rtt, mbps = safe_probe(timeout_s=min(240.0, max(30.0, left)))
         log(f"relay probe: rtt={rtt:.2f} s, bulk={mbps:.1f} MB/s")
-        if mbps >= HEALTHY_MBPS or time.time() > deadline:
+        # a stalled probe burns its whole timeout: stop when another
+        # probe round (45 s sleep + 240 s worst-case probe) can't fit
+        if mbps >= HEALTHY_MBPS or time.time() + 290 > deadline:
             return rtt, mbps
         log("  degraded relay; waiting 45 s...")
         time.sleep(45)
@@ -349,17 +357,18 @@ def time_all(
     # unaffected and the protocol stays interleaved-fair.
     budget = deadline - time.time()
     dev_lost = not dev_t or (ref_t and min(dev_t) > min(ref_t))
-    if dev_lost and budget > 240:
+    if dev_lost and budget > 300:
         # Device lost (or never ran): re-probe the link NOW — the pre-round
         # probe may have read healthy and the link collapsed mid-run, or
         # vice versa. `healthy` must describe the window min(dev_t) came
         # from, so from here it is earned only by a completed retry round
         # (or by a genuinely healthy link with the existing rounds).
-        _, mbps = safe_probe()
+        _, mbps = safe_probe(timeout_s=min(240.0, budget - 120))
         if mbps < HEALTHY_MBPS:
             healthy = False
             log("device path ran link-bound; waiting for one healthy window...")
-            _, mbps = wait_for_relay(min(600.0, budget - 180))
+            _, mbps = wait_for_relay(
+                min(600.0, deadline - time.time() - 180))
         if mbps >= HEALTHY_MBPS:
             retried = 0
             try:
@@ -497,7 +506,7 @@ def main() -> int:
             "headline_path": "host-crashfallback",
             "host_path_Msamples_per_s": round(host_msps, 2),
             "bench_wall_s": round(time.time() - t_start, 1),
-        }), flush=True)
+        }, allow_nan=False), flush=True)
         return 0
 
 
@@ -582,11 +591,15 @@ def _measure_and_report(files, n_files, ref, total_samples, budget_s,
         "scan_Msamples_per_s": round(scan_msps, 1) if scan_msps else None,
         "backend_jax_Msamples_per_s": shoot.get("jax"),
         "backend_pallas_Msamples_per_s": shoot.get("pallas"),
-        "relay_probe_s": round(probe_s, 3),
+        # math.isfinite: json.dumps would emit bare `Infinity` (invalid
+        # JSON) for a stalled probe, poisoning the whole artifact
+        "relay_probe_s": (round(probe_s, 3)
+                          if probe_s == probe_s and probe_s != float("inf")
+                          else None),
         "link_MBps": (round(link_mbps, 1)
                       if link_mbps != float("inf") else None),
         "bench_wall_s": round(time.time() - t_start, 1),
-    }), flush=True)
+    }, allow_nan=False), flush=True)
 
     # Diagnostics AFTER the artifact is out (stderr only): a watchdog kill
     # from here on cannot lose the round's number.

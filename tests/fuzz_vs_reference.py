@@ -254,6 +254,24 @@ def one_round(rng: np.random.Generator) -> str:
             nw = int(rng.integers(1, avail - a))
             seg = read_segment(data, idx, a, nw)
             assert np.array_equal(seg, got2[a : a + nw]), "segment mismatch"
+
+    # encoder axis: losslessly re-encode (optimal filler choices) and make
+    # the REFERENCE BINARY decode the framework-authored bitstream — the
+    # C decoder is the ground truth that our emitted grammar is legal and
+    # PCM-identical (clean, fully-decoded streams only: that is
+    # optimize_acm's contract)
+    if kind == "clean" and len(want) and rng.random() < 0.04:
+        from libacm_tpu.encode import optimize_acm
+
+        try:
+            redata = optimize_acm(data)
+        except ValueError:
+            redata = None  # stream ends mid-block etc.: out of contract
+        if redata is not None:
+            want2, _ = ref_decode(redata)
+            assert want2 is not None, "reference refused re-encoded stream"
+            assert np.array_equal(want2, want), "re-encode PCM mismatch"
+            return "optimize"
     return kind
 
 

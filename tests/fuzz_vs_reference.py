@@ -79,12 +79,27 @@ def gen_stream(rng: np.random.Generator) -> tuple[bytes, str]:
             rng, level=level, rows=rows, n_blocks=nb,
             channels=int(rng.integers(1, 3)),
             wavc=bool(rng.integers(0, 2)), max_pwr=int(rng.integers(0, 16)))
-    else:
+    elif style < 0.92:
         data = testing.speech_acm_bytes(
             rng, level=level, rows=rows, n_blocks=nb,
             channels=int(rng.integers(1, 3)),
             base_pwr=int(rng.integers(2, 9)),
             wavc=bool(rng.integers(0, 2)))
+    else:
+        # streams authored by the REAL lossy encoder: a different filler/
+        # value distribution than the fixture synthesizers (ridge-LS
+        # coefficients, cheapest-covering-filler choices)
+        from libacm_tpu.encode import encode_pcm
+
+        lv = int(rng.integers(1, 7))
+        rw = int(rng.integers(1, 24))
+        ch = int(rng.integers(1, 3))
+        n = (rw << lv) * int(rng.integers(1, 4))
+        pcm = (rng.normal(0, 3000, n * ch)
+               .clip(-32768, 32767).astype(np.int16))
+        data = encode_pcm(pcm, level=lv, rows=rw, channels=ch,
+                          pwr=int(rng.integers(4, 12)),
+                          wavc=bool(rng.integers(0, 2))).data
     mut = rng.random()
     if mut < 0.25 and len(data) > 20:
         data = data[: int(rng.integers(14, len(data)))]

@@ -97,9 +97,15 @@ def gen_stream(rng: np.random.Generator) -> tuple[bytes, str]:
         n = (rw << lv) * int(rng.integers(1, 4))
         pcm = (rng.normal(0, 3000, n * ch)
                .clip(-32768, 32767).astype(np.int16))
-        data = encode_pcm(pcm, level=lv, rows=rw, channels=ch,
-                          pwr=int(rng.integers(4, 12)),
-                          wavc=bool(rng.integers(0, 2))).data
+        try:
+            data = encode_pcm(pcm, level=lv, rows=rw, channels=ch,
+                              pwr=int(rng.integers(4, 12)),
+                              wavc=bool(rng.integers(0, 2))).data
+        except Exception:
+            # encoder rejected the geometry: never kill the campaign over
+            # stream AUTHORING — fall back to a fixture stream
+            data = testing.speech_acm_bytes(
+                rng, level=level, rows=rows, n_blocks=nb)
     mut = rng.random()
     if mut < 0.25 and len(data) > 20:
         data = data[: int(rng.integers(14, len(data)))]

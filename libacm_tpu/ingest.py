@@ -154,3 +154,59 @@ def decode_to_wav_dir(
                 if r.filler_words:
                     f.write(bytes(2 * r.filler_words))
     return results
+
+
+def run_corpus_job(
+    sources: Sequence,
+    checkpoint_path: str | os.PathLike,
+    *,
+    batch_files: int = 64,
+    config: CorpusConfig | None = None,
+    on_result=None,
+):
+    """Resumable corpus decode job (SURVEY §5 checkpoint/resume).
+
+    Decodes the manifest in `batch_files` batches, persisting the manifest
+    CURSOR plus running counters to `checkpoint_path` (atomic JSON) after
+    every batch; rerunning after a crash resumes at the last completed
+    batch. `on_result(FileResult)` is invoked per file in manifest order
+    — delivery is at-least-once per file across crashes (a batch that was
+    in flight when the process died is redecoded), so side effects should
+    be idempotent (e.g. keyed writes).
+
+    Returns a dict summary: {"files", "n_ok", "n_failed", "n_partial",
+    "samples", "resumed_at"}. The checkpoint file is left in place on
+    completion (cursor == len(sources)) so reruns are no-ops.
+    """
+    import json
+
+    cp = pathlib.Path(checkpoint_path)
+    state = {"cursor": 0, "n_ok": 0, "n_failed": 0, "n_partial": 0,
+             "samples": 0}
+    try:
+        prev = json.loads(cp.read_text())
+        if isinstance(prev, dict) and 0 <= prev.get("cursor", -1):
+            state.update(prev)
+    except (OSError, ValueError):
+        pass  # absent or corrupt checkpoint: start from zero
+    resumed_at = min(int(state["cursor"]), len(sources))
+    srcs = list(sources)
+    for lo in range(resumed_at, len(srcs), max(1, batch_files)):
+        chunk = srcs[lo : lo + batch_files]
+        for r in decode_corpus(chunk, config=config):
+            r.index += lo
+            if r.status != 0 and r.pcm is None:
+                state["n_failed"] += 1
+            elif r.status != 0:
+                state["n_partial"] += 1
+            else:
+                state["n_ok"] += 1
+            if r.pcm is not None:
+                state["samples"] += int(len(r.pcm))
+            if on_result is not None:
+                on_result(r)
+        state["cursor"] = lo + len(chunk)
+        tmp = cp.with_suffix(cp.suffix + ".tmp")
+        tmp.write_text(json.dumps(state))
+        tmp.replace(cp)  # atomic: a crash never leaves a torn checkpoint
+    return dict(state, files=len(srcs), resumed_at=resumed_at)

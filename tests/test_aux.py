@@ -134,3 +134,64 @@ def test_torch_frame_dataset(tmp_path):
     loader = DataLoader(ds, batch_size=4)
     n = sum(len(b[0]) for b in loader)
     assert n == len(want)
+
+
+def test_run_corpus_job_checkpoint_resume(tmp_path):
+    """Corpus-job checkpointing (SURVEY §5): crash mid-job, resume from the
+    manifest cursor, end with the same counters as a straight decode."""
+    import json
+
+    from libacm_tpu import ingest
+    from libacm_tpu.parallel import decode_corpus
+
+    rng = np.random.default_rng(404)
+    files = []
+    for i in range(7):
+        data = testing.speech_acm_bytes(rng, level=3, rows=8, n_blocks=3)
+        if i == 4:
+            data = data[: len(data) - 6]  # partial member
+        p = tmp_path / f"f{i}.acm"
+        p.write_bytes(data)
+        files.append(str(p))
+    files.insert(2, str(tmp_path / "missing.acm"))  # failed member
+
+    cp = tmp_path / "job.json"
+    seen = []
+
+    class Crash(RuntimeError):
+        pass
+
+    def crashing(r):
+        if len(seen) == 5:
+            raise Crash()
+        seen.append(r.index)
+
+    try:
+        ingest.run_corpus_job(files, cp, batch_files=3, on_result=crashing)
+        assert False, "expected crash"
+    except Crash:
+        pass
+    # one full batch committed before the crash (batch 2 was in flight)
+    assert json.loads(cp.read_text())["cursor"] == 3
+
+    summary = ingest.run_corpus_job(files, cp, batch_files=3,
+                                    on_result=lambda r: seen.append(r.index))
+    assert summary["resumed_at"] == 3
+    assert summary["files"] == len(files)
+    assert summary["cursor"] == len(files)
+    # batch 0 delivered once, the crashed batch redelivered (at-least-once)
+    assert sorted(set(seen)) == list(range(len(files)))
+
+    want = decode_corpus(files)
+    assert summary["n_ok"] == sum(r.status == 0 for r in want)
+    assert summary["n_failed"] == sum(r.pcm is None for r in want)
+    assert summary["n_partial"] == sum(
+        r.pcm is not None and r.status != 0 for r in want)
+    assert summary["samples"] == sum(
+        len(r.pcm) for r in want if r.pcm is not None)
+
+    # completed job: rerun is a no-op (cursor already at the end)
+    again = ingest.run_corpus_job(files, cp, batch_files=3,
+                                  on_result=lambda r: seen.append(-1))
+    assert again["resumed_at"] == len(files)
+    assert -1 not in seen

@@ -1072,7 +1072,10 @@ def _dispatch_dense(chunk, level, rows, nb, wlen, mesh, n_shards, synth_fn,
     return _BucketOut(level=level, rows=rows, entries=chunk, pcm=pcm)
 
 
-@functools.lru_cache(maxsize=None)
+#: bounded: the key includes per-shard wire lengths, so varied-shape
+#: workloads (fuzzers, mixed serving) would otherwise grow a jit-object
+#: entry per distinct layout forever (eviction just re-jits on next use)
+@functools.lru_cache(maxsize=256)
 def _sharded_cols_fn(mesh: Mesh, level: int, rows: int, batch: int, nb: int,
                      backend: str, lens: tuple):
     """shard_map'd per-device slice+unpack+synth over per-shard wire blobs.

@@ -441,28 +441,32 @@ def main():
     rng = np.random.default_rng(seed)
     t0 = time.time()
     n = 0
+    iters = 0
     kinds = {}
     while time.time() - t0 < budget:
-        if n and n % 50 == 0:
+        iters += 1
+        if iters % 50 == 0:
             # every random geometry compiles a fresh XLA program; a
             # multi-hour single process otherwise accumulates thousands of
             # them until the process hits vm.max_map_count (65530 here —
-            # observed as LLVM "Cannot allocate memory" + segfault, seed
-            # 9103: ~70 new maps/round meant the ceiling arrived BEFORE a
-            # 1000-round periodic clear). Clear on measured map count:
-            # worst observed growth is ~100 maps/round, so checking every
-            # 50 rounds against a 30k threshold bounds the peak near
-            # ~35k — and avoids gratuitous recompiles of the expensive
-            # sharded-mesh programs while the count is low.
+            # observed as LLVM "Cannot allocate memory" + segfault at
+            # ~70-100 new mmaps per round). Clear on measured map count.
+            # NOTE the dedicated `iters` counter: a check on `n % K == 0`
+            # NEVER fired — the sharded round at every 25th n consumed
+            # each multiple of 50/1000 before the loop-top test saw it,
+            # which is why earlier "periodic clear" mitigations did not
+            # actually mitigate.
             try:
                 with open(f"/proc/{os.getpid()}/maps") as mf:
                     heavy = sum(1 for _ in mf) > 30000
             except OSError:
-                heavy = n % 1000 == 0  # no /proc: periodic fallback
+                heavy = iters % 1000 == 0  # no /proc: periodic fallback
             if heavy:
                 import jax
 
                 jax.clear_caches()
+                print(f"  [maps>30k at round {n}: cleared XLA caches]",
+                      flush=True)
         state = rng.bit_generator.state
         try:
             kind = one_round(rng)

@@ -241,9 +241,10 @@ def wait_for_relay(budget_s: float) -> tuple[float, float]:
         left = deadline - time.time()
         rtt, mbps = safe_probe(timeout_s=min(240.0, max(30.0, left)))
         log(f"relay probe: rtt={rtt:.2f} s, bulk={mbps:.1f} MB/s")
-        # a stalled probe burns its whole timeout: stop when another
-        # probe round (45 s sleep + 240 s worst-case probe) can't fit
-        if mbps >= HEALTHY_MBPS or time.time() + 290 > deadline:
+        # the next probe's timeout is itself clamped to what's left, and
+        # a HEALTHY link answers in seconds — so another round is useful
+        # as long as the 45 s sleep plus a minimal 30 s probe still fits
+        if mbps >= HEALTHY_MBPS or time.time() + 80 > deadline:
             return rtt, mbps
         log("  degraded relay; waiting 45 s...")
         time.sleep(45)

@@ -63,6 +63,8 @@ def build_app(paths, index_dir=None):
                     i = int(q["file"][0])
                     start = int(q.get("start", ["0"])[0])
                     n = int(q["n"][0])
+                    if not 0 <= i < len(manifest):
+                        raise ValueError(f"file id out of range: {i}")
                     frames = corpus.read(i, start, n)
                 except (KeyError, ValueError, IndexError) as exc:
                     self.send_error(400, str(exc))

@@ -180,18 +180,24 @@ def run_corpus_job(
     """
     import json
 
+    batch_files = max(1, batch_files)
     cp = pathlib.Path(checkpoint_path)
     state = {"cursor": 0, "n_ok": 0, "n_failed": 0, "n_partial": 0,
              "samples": 0}
     try:
         prev = json.loads(cp.read_text())
-        if isinstance(prev, dict) and 0 <= prev.get("cursor", -1):
-            state.update(prev)
+        # schema-validate: a torn/foreign/hand-edited checkpoint must mean
+        # "start from zero", never a crash (TypeError on a str cursor) or
+        # a poisoned counter surfacing mid-job
+        if (isinstance(prev, dict)
+                and all(isinstance(prev.get(k), int) and prev[k] >= 0
+                        for k in state)):
+            state.update({k: prev[k] for k in state})
     except (OSError, ValueError):
         pass  # absent or corrupt checkpoint: start from zero
     resumed_at = min(int(state["cursor"]), len(sources))
     srcs = list(sources)
-    for lo in range(resumed_at, len(srcs), max(1, batch_files)):
+    for lo in range(resumed_at, len(srcs), batch_files):
         chunk = srcs[lo : lo + batch_files]
         for r in decode_corpus(chunk, config=config):
             r.index += lo

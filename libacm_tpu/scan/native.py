@@ -539,7 +539,6 @@ _SCRATCH_CAP = 256 << 20
 
 
 def _pool_scratch(name: str, n: int, dtype) -> np.ndarray:
-    nbytes = n * np.dtype(dtype).itemsize
     pool = getattr(_PACKED_TLS, "pool", None)
     if pool is None:
         pool = _PACKED_TLS.pool = {}

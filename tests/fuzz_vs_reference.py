@@ -58,13 +58,19 @@ def ref_decode(data: bytes):
         f.write(data)
         src = f.name
     out = src + ".raw"
-    r = subprocess.run([REF, "-d", "-r", "-q", "-o", out, src],
-                       capture_output=True, text=True, timeout=60)
     try:
-        pcm = np.frombuffer(open(out, "rb").read(), dtype="<i2")
-    except OSError:
-        pcm = None
-    return pcm, r.stderr
+        r = subprocess.run([REF, "-d", "-r", "-q", "-o", out, src],
+                           capture_output=True, text=True, timeout=60)
+        try:
+            pcm = np.frombuffer(open(out, "rb").read(), dtype="<i2")
+        except OSError:
+            pcm = None
+        return pcm, r.stderr
+    finally:
+        # multi-hour campaigns call this every round (up to MAX_REF_BYTES
+        # of .raw each): leaking the pair fills /tmp across a campaign
+        pathlib.Path(src).unlink(missing_ok=True)
+        pathlib.Path(out).unlink(missing_ok=True)
 
 
 def gen_stream(rng: np.random.Generator) -> tuple[bytes, str]:

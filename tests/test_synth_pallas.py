@@ -37,6 +37,7 @@ def _interpret(monkeypatch):
     (5, 36, 2, 2), (2, 32, 1, 2), (6, 6, 1, 2),
     # wide geometries: cols > 128 flat-tiled as [rows*cols/128, 128]
     (8, 4, 2, 3), (9, 3, 1, 2), (10, 1, 2, 2), (12, 2, 1, 2),
+    (13, 2, 1, 2), (14, 1, 1, 2),  # widest in-kernel levels under VMEM cap
     # silent XLA fallback: level 0, non-multiple-of-128 tiles (Mosaic
     # cannot lower the narrow-lane layout), and oversized VMEM tiles
     (0, 7, 2, 2), (3, 8, 1, 4), (1, 5, 2, 2), (4, 1, 1, 3),

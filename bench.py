@@ -606,7 +606,7 @@ def _measure_and_report(files, n_files, ref, total_samples, budget_s,
     # from here on cannot lose the round's number.
     sweep_budget = deadline - time.time() - 30
     if remote and healthy and sweep_budget > 120:
-        log("pallas parity sweep (levels 1-12, on hardware):")
+        log("pallas parity sweep (levels 1-14, on hardware):")
         log(f"  sweep: {pallas_parity_sweep(min(900.0, sweep_budget))}")
     elif remote:
         log("pallas parity sweep: skipped (degraded link or budget)")

@@ -28,7 +28,7 @@ def main() -> int:
         print(f"sweep skipped: no TPU ({jax.default_backend()} backend; "
               "CI covers interpreter-mode parity)")
         return 0
-    levels = [int(a) for a in sys.argv[1:]] or list(range(1, 13))
+    levels = [int(a) for a in sys.argv[1:]] or list(range(1, 15))
     rng = np.random.default_rng(7)
     failures = 0
     for level in levels:

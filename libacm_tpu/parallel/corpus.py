@@ -1395,6 +1395,13 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
     buf = bytearray()
     bit = 0
     eof = False
+    # The reference stops reading once total_values words are delivered
+    # (acm_read clamp, decode.c:853-854) — it never attempts the next
+    # block, so bits past the declared block count must not contribute
+    # events/status (the one-shot corpus scan bounds max_blocks by
+    # header.n_blocks the same way; fuzz seed 9202: a clean stream with
+    # trailing bits read as a doomed attempt turned status 0 into -7).
+    remaining = hdr.n_blocks
     # initial prefetch guess: ~4 wire bits/sample + block/column headers
     need = max(1 << 16, (W * (rows * cols * 4 + 20 + 5 * cols)) // 8)
     bufs = _native.CorpusScanBuffers()
@@ -1421,7 +1428,7 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
         ng, _err, ncol, bits, oor, events = _native.scan_corpus_into(
             memoryview(buf), hdr, cls, pwr, vals, pay4, pay8, pay16,
             wid4, wid8, wid16, bufs, start_bit=bit, final=eof,
-            max_blocks=W,
+            max_blocks=min(W, remaining),
         )
         status = int(bufs.meta[2])
         resume = int(bufs.meta[10])
@@ -1436,6 +1443,7 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
         state["events"].append(events)
         if ng > 0:
             e.n_good += ng
+            remaining -= ng
 
             def _sl(a, used_bytes):
                 # next-power-of-two bucketing: chunk shapes stay stable
@@ -1450,7 +1458,7 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
                    _sl(wid4, -(-ncol[0] // 2)),
                    _sl(wid8, -(-ncol[1] // 2)),
                    _sl(wid16, -(-ncol[2] // 2)), vals)
-        if status == _EXPECTED_EOF:
+        if status == _EXPECTED_EOF or remaining <= 0:
             return
         # full window committed (status 0): drop consumed bytes and keep
         # scanning — the buffer may still hold undecoded blocks even at

@@ -333,3 +333,36 @@ def test_decode_stream_device_hostile_unseekable_source():
     pcm, _ = decode_stream_device(_Pipe(clean))
     np.testing.assert_array_equal(
         np.asarray(pcm).reshape(-1)[: len(want)], want)
+
+
+def test_stream_device_ignores_bits_past_declared_blocks():
+    """Fuzz seed 9202 round 1520: a WAVC stream whose trailing bits parse
+    as a doomed block attempt PAST the declared total_values. The
+    reference never attempts that block (acm_read clamps at total_values,
+    decode.c:853-854), so decode_stream_device must report the same clean
+    status as the corpus path in every mode."""
+    import io
+    import pathlib
+
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    data = (pathlib.Path(__file__).parent
+            / "fixtures" / "trailing_bits_clean.acm").read_bytes()
+    host = decode_corpus([data])[0]
+    assert host.status == 0
+
+    class NoLen:
+        def __init__(self, d):
+            self._b = io.BytesIO(d)
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+    for mesh in (None, make_mesh(axis="blocks")):
+        for wb, pipe in ((None, False), (2, False), (1, True), (3, True)):
+            src = NoLen(data) if pipe else data
+            pcm, meta = decode_stream_device(src, mesh=mesh,
+                                             window_blocks=wb)
+            assert meta.status == host.status, (wb, pipe, meta.status)
+            got = np.asarray(pcm).reshape(-1)
+            assert np.array_equal(got[: len(host.pcm)], host.pcm)

@@ -467,6 +467,18 @@ struct BitStreamSink {
                          w};
   }
   inline void put(int /*i*/, int v) {
+    if (nacc + w > 64) {
+      // drain before appending: linear_bulk's strict tail fallback can
+      // arrive with up to 63 pending bits (the bulk branch pre-drains,
+      // this one could not), and an append past bit 63 silently drops
+      // the field's top bits (fuzz seed 9205: the stream's final wide
+      // field lost its sign bit on the wire)
+      uint32_t out = static_cast<uint32_t>(acc);
+      std::memcpy(ptr, &out, 4);
+      ptr += 4;
+      acc >>= 32;
+      nacc -= 32;  // nacc was >= 49 (w <= 16), so >= 17 remains
+    }
     acc |= (static_cast<uint64_t>(static_cast<uint32_t>(v))
             & ((1u << w) - 1)) << nacc;
     nacc += w;

@@ -1,5 +1,7 @@
 """Per-column wire format: native packed scan + device unpack ≡ dense scan."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -99,3 +101,15 @@ def test_packed_scan_pooled_scratch_determinism():
     native.scan_bytes_packed(big)
     for n in fields:
         np.testing.assert_array_equal(getattr(got, n), ref[n], err_msg=n)
+
+
+def test_wide_field_at_stream_tail_keeps_top_bits():
+    """Fuzz seed 9205 round 1425: the stream's FINAL wide-linear field went
+    through BitStreamSink.put with ~50 bits already pending (the strict
+    tail fallback, unlike the bulk branch, did not pre-drain), so the
+    append ran past bit 63 and the field's top (sign) bit fell off the
+    wire — the device paths decoded +15988 where the reference decodes
+    -396. The wire must round-trip the dense scan exactly."""
+    data = (pathlib.Path(__file__).parent
+            / "fixtures" / "wide_tail_field.acm").read_bytes()
+    _roundtrip(data)

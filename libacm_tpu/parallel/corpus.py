@@ -310,6 +310,11 @@ class CorpusConfig:
     #: "auto": host-bound consumers use the fused native pipeline,
     #: device-bound ones XLA. "host" | "jax" | "pallas" force a backend.
     backend: str = "auto"
+    #: decode threads for the host path (the fused native decoder releases
+    #: the GIL with thread-local scratch, so file-level parallelism scales
+    #: to physical cores); ignored by device backends, which pipeline
+    #: host scan with device synth instead
+    host_workers: int = 1
 
 
 @dataclasses.dataclass
@@ -1475,6 +1480,7 @@ def decode_corpus_host(
     sources: Sequence[Source],
     *,
     force_chans: int = 0,
+    workers: int = 1,
 ) -> list[FileResult]:
     """Pure-host corpus decode: fused C++ scan+synth, file at a time.
 
@@ -1483,24 +1489,26 @@ def decode_corpus_host(
     fetching back wastes the device↔host link; the fused native pipeline
     (scan + filterbank + int16 in one cache-resident sweep per block,
     `_scan.cpp acm_decode_host`) beats the reference's single-core decode
-    (acmtool.c:269-291 read loop) outright. O(file) memory — sources are
-    read, decoded, and released one at a time.
+    (acmtool.c:269-291 read loop) outright. O(workers·file) memory —
+    sources are read, decoded, and released one at a time per worker.
+
+    `workers > 1` decodes files concurrently: the native call releases
+    the GIL and every scratch/PCM pool is thread-local, so throughput
+    scales with physical cores (unlike the strictly single-threaded
+    reference). Results are index-ordered either way.
     """
     from ..scan import native as _native
 
-    results: list[FileResult] = []
-    for i, src in enumerate(sources):
+    def _one(i: int, src: Source) -> FileResult:
         try:
             data = _read_source(src)
         except OSError:
-            results.append(FileResult(index=i, info=None, pcm=None,
-                                      status=int(AcmError.ERR_OPEN)))
-            continue
+            return FileResult(index=i, info=None, pcm=None,
+                              status=int(AcmError.ERR_OPEN))
         header = parse_header(BitReader(data))
         if header is None:
-            results.append(FileResult(index=i, info=None, pcm=None,
-                                      status=int(AcmError.ERR_NOT_ACM)))
-            continue
+            return FileResult(index=i, info=None, pcm=None,
+                              status=int(AcmError.ERR_NOT_ACM))
         e = _FileEntry(
             index=i, src=src, header=header, nbytes=len(data),
             channels=resolve_channels(header.channels, header.wavc_file,
@@ -1510,8 +1518,12 @@ def decode_corpus_host(
         # decoder reproduces the reference's stale reads via the virtual
         # table (see SynthEmitter in _scan.cpp) — no oracle fallback
         _apply_host_decode(e, _native.decode_host(data, header))
-        results.append(_finalize(e, e.host_pcm, header.block_len))
-    return results
+        return _finalize(e, e.host_pcm, header.block_len)
+
+    if workers <= 1 or len(sources) <= 1:
+        return [_one(i, src) for i, src in enumerate(sources)]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(_one, range(len(sources)), sources))
 
 
 def decode_corpus(
@@ -1532,6 +1544,7 @@ def decode_corpus(
     device synthesis (e.g. when the same corpus is also consumed on device)
     or "host" to require the native path. A `mesh` implies device decode.
     """
+    host_workers = 1
     if config is not None:
         # a config wins over the keyword arguments entirely, exactly as in
         # decode_corpus_device — two entry points, one precedence rule
@@ -1539,11 +1552,13 @@ def decode_corpus(
         chunk_files = config.chunk_files
         pack = config.pack
         backend = config.backend
+        host_workers = config.host_workers
     if backend in ("auto", "host") and mesh is None:
         from ..scan import native as _native
 
         if _native.available():
-            return decode_corpus_host(sources, force_chans=force_chans)
+            return decode_corpus_host(sources, force_chans=force_chans,
+                                      workers=host_workers)
         if backend == "host":
             raise RuntimeError("native host decoder unavailable")
     if backend in ("auto", "host"):

@@ -366,3 +366,47 @@ def test_stream_device_ignores_bits_past_declared_blocks():
             assert meta.status == host.status, (wb, pipe, meta.status)
             got = np.asarray(pcm).reshape(-1)
             assert np.array_equal(got[: len(host.pcm)], host.pcm)
+
+
+def test_corpus_host_workers_match_serial():
+    """Multi-threaded host decode (GIL-released native, thread-local
+    scratch) must be index-ordered and byte-identical to the serial path,
+    including failed/hostile members."""
+    from libacm_tpu.parallel.corpus import decode_corpus_host
+    from libacm_tpu.scan import native
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+    rng = np.random.default_rng(33)
+    files = _corpus(seed=33, n=14)
+    files[3] = files[3][: len(files[3]) // 2]          # truncated
+    files[6] = b"not an acm stream at all"             # not ACM
+    b = bytearray(files[9])                            # bit-flipped body
+    b[20] ^= 0x40
+    files[9] = bytes(b)
+    serial = decode_corpus_host(files)
+    for workers in (2, 5):
+        par = decode_corpus_host(files, workers=workers)
+        assert [r.index for r in par] == [r.index for r in serial]
+        for a, b2 in zip(par, serial):
+            assert a.status == b2.status
+            if b2.pcm is None:
+                assert a.pcm is None
+            else:
+                np.testing.assert_array_equal(a.pcm, b2.pcm)
+
+
+def test_corpus_config_host_workers_routing():
+    """CorpusConfig.host_workers reaches the host path through
+    decode_corpus (one precedence rule across both entry points)."""
+    from libacm_tpu.parallel.corpus import CorpusConfig
+    from libacm_tpu.scan import native
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+    files = _corpus(seed=40, n=6)
+    cfg = CorpusConfig(host_workers=3)
+    res = decode_corpus(files, config=cfg)
+    for data, r in zip(files, res):
+        assert r.ok
+        np.testing.assert_array_equal(r.pcm, _oracle_decode(data))

@@ -335,6 +335,19 @@ def _sharded_check(rng: np.random.Generator, corpus) -> None:
     from libacm_tpu.parallel import decode_corpus_device, make_mesh
 
     host = decode_corpus(corpus, backend="host")
+    # multi-threaded host decode (GIL-released native, thread-local
+    # scratch) must be identical to the serial host path on the same
+    # hostile corpus
+    if rng.random() < 0.5:
+        from libacm_tpu.parallel.corpus import decode_corpus_host
+
+        par = decode_corpus_host(corpus, workers=int(rng.integers(2, 6)))
+        for h, p in zip(host, par):
+            assert h.status == p.status, "workers status mismatch"
+            hp, pp = h.pcm, p.pcm
+            assert (hp is None) == (pp is None), "workers open mismatch"
+            if hp is not None:
+                assert np.array_equal(hp, pp), "workers pcm mismatch"
     mesh = make_mesh()
     dev = decode_corpus_device(
         corpus, mesh=mesh,

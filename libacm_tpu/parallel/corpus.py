@@ -151,12 +151,18 @@ def effective_stop(total: int, block_len: int, channels: int, words_avail: int) 
     a zero-word round ends the stream (including the odd-block_len stereo
     wedge, where a final stranded word is never returned).
     """
+    lim = min(total, words_avail)
     if channels <= 1:
-        return min(total, words_avail)
+        return lim
+    if block_len % channels == 0:
+        # pos stays block- and channel-aligned through every full-block
+        # call, so only the final partial call rounds: closed form (the
+        # per-block replay below costs ~block-count Python iterations)
+        return lim - (lim % channels)
     pos = 0
-    while pos < min(total, words_avail):
+    while pos < lim:
         in_block = block_len - (pos % block_len)
-        nw = min(in_block, total - pos, words_avail - pos)
+        nw = min(in_block, lim - pos)
         nw -= nw % channels
         if nw <= 0:
             break

@@ -263,11 +263,13 @@ def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def _prep(data: bytes, max_blocks: int | None):
+def _prep(data: bytes, max_blocks: int | None,
+          header: "AcmHeader | None" = None):
     lib = _load()
     if lib is None:
         raise RuntimeError("native scanner not available")
-    header = parse_header(BitReader(data))
+    if header is None:
+        header = parse_header(BitReader(data))
     if header is None:
         raise ValueError("not an ACM stream")
     if max_blocks is None:
@@ -833,9 +835,8 @@ def decode_host(
     `decode_host_window` for that; this convenience entry starts with a
     fresh (stream-start) table.
     """
-    lib, hdr, max_blocks, skip_bits, max_events = _prep(data, max_blocks)
-    if header is not None:
-        hdr = header
+    lib, hdr, max_blocks, skip_bits, max_events = _prep(data, max_blocks,
+                                                        header)
     if start_bit is None:
         start_bit = skip_bits
     if wrap is None:

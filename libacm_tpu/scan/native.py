@@ -680,6 +680,14 @@ class HostDecodeScratch:
         self.xbuf = np.zeros(n + (1 << level), dtype=np.uint32)
         self.ybuf = np.zeros(n + (1 << level), dtype=np.uint32)
         self.meta = np.zeros(16, dtype=np.int64)
+        # ctypes pointers computed ONCE where the arrays are assigned
+        # (a .ctypes.data_as per array per call was ~10% of the host
+        # path's Python-side cost at 12 pointers per decoded file)
+        self.col_p = _ptr(self.col, ctypes.c_int16)
+        self.kbuf_p = _ptr(self.kbuf, ctypes.c_int16)
+        self.xbuf_p = _ptr(self.xbuf, ctypes.c_uint32)
+        self.ybuf_p = _ptr(self.ybuf, ctypes.c_uint32)
+        self.meta_p = _ptr(self.meta, ctypes.c_int64)
         self._max_events = 0
 
     def event_bufs(self, max_events: int):
@@ -695,6 +703,10 @@ class HostDecodeScratch:
             self.tell = np.empty(self._max_events, dtype=np.int64)
             self.ev_pwr = np.empty(self._max_events, dtype=np.uint8)
             self.ev_val = np.empty(self._max_events, dtype=np.uint16)
+            self.events_p = _ptr(self.events, ctypes.c_int16)
+            self.tell_p = _ptr(self.tell, ctypes.c_int64)
+            self.ev_pwr_p = _ptr(self.ev_pwr, ctypes.c_uint8)
+            self.ev_val_p = _ptr(self.ev_val, ctypes.c_uint16)
         return self.events, self.tell, self.ev_pwr, self.ev_val
 
 
@@ -783,14 +795,12 @@ def _decode_host_raw(
         _ptr(dview, ctypes.c_uint8), len(dview),
         start_bit, hdr.level, rows, max_blocks, max_events,
         _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
-        _ptr(events, ctypes.c_int16), _ptr(tell, ctypes.c_int64),
-        _ptr(s.col, ctypes.c_int16), _ptr(s.kbuf, ctypes.c_int16),
-        _ptr(s.xbuf, ctypes.c_uint32), _ptr(s.ybuf, ctypes.c_uint32),
-        _ptr(s.meta, ctypes.c_int64),
+        s.events_p, s.tell_p,
+        s.col_p, s.kbuf_p, s.xbuf_p, s.ybuf_p, s.meta_p,
         1 if final else 0,
         _ptr(table.val, ctypes.c_uint32) if table is not None else None,
         _ptr(table.cov, ctypes.c_int64) if table is not None else None,
-        _ptr(ev_pwr, ctypes.c_uint8), _ptr(ev_val, ctypes.c_uint16),
+        s.ev_pwr_p, s.ev_val_p,
     )
     if rc != 0:
         raise RuntimeError("host decode: event capacity exceeded")
@@ -904,7 +914,7 @@ def synth_dense(
     pcm = np.empty((nb, rows * cols), dtype=np.int16)
     lib.acm_synth_dense(
         _ptr(k, ctypes.c_int16), _ptr(vals, ctypes.c_uint16), nb, level, rows,
-        _ptr(wrap, ctypes.c_uint32), _ptr(s.xbuf, ctypes.c_uint32),
-        _ptr(s.ybuf, ctypes.c_uint32), _ptr(pcm, ctypes.c_int16),
+        _ptr(wrap, ctypes.c_uint32), s.xbuf_p, s.ybuf_p,
+        _ptr(pcm, ctypes.c_int16),
     )
     return pcm, wrap

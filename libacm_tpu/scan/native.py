@@ -149,15 +149,23 @@ def _pgo_train(prof_so: str, tag: str, gcda: pathlib.Path) -> bool:
     return r.returncode == 0 and gcda.exists()
 
 
+_LOAD_LOCK = threading.Lock()
+
+
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
-    _tried = True
-    so = _build()
-    if so is None:
-        return None
-    _lib = _bind(ctypes.CDLL(str(so)))
+    # double-checked: concurrent first native touches (decode_corpus_host
+    # workers) must not see _tried=True while another thread is still in
+    # the seconds-long _build()/dlopen, nor build twice
+    with _LOAD_LOCK:
+        if _tried:
+            return _lib
+        so = _build()
+        if so is not None:
+            _lib = _bind(ctypes.CDLL(str(so)))
+        _tried = True
     return _lib
 
 

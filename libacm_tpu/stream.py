@@ -907,9 +907,17 @@ def acm_open_file(filename: str | os.PathLike, force_chans: int = 0,
 
 
 def acm_read(acm: AcmStream, numbytes: int, bigendianp: int = 0,
-             wordlen: int = 2, sgned: int = 1):
-    """C-style: returns bytes (b'' at EOF) or a negative error int."""
-    return acm._read_core(numbytes, False, bigendianp, wordlen, sgned)
+             wordlen: int = 2, sgned: int = 1, simulate: bool = False):
+    """C-style: returns bytes (b'' at EOF) or a negative error int.
+
+    simulate=True is the reference's dst=NULL mode (decode.c:859-866):
+    decode and advance without formatting, returning the consumed byte
+    count (0 at EOF) — what acm_seek_pcm drives internally (util.c:243-251).
+    """
+    res = acm._read_core(numbytes, simulate, bigendianp, wordlen, sgned)
+    if simulate and res == b"":
+        return 0
+    return res
 
 
 def acm_read_loop(acm: AcmStream, numbytes: int, bigendianp: int = 0,

@@ -132,3 +132,31 @@ def test_stale_amp_table_exceptions_match_reference_semantics():
     idx = build_index(data)
     np.testing.assert_array_equal(read_segment(data, idx, 5, 100),
                                   want[5:105])
+
+
+def test_load_thread_safe_first_touch():
+    """Concurrent first native touches must all see the loaded library
+    (the pre-lock _load set _tried before the seconds-long build, so a
+    racing thread could observe None and fail a whole corpus decode)."""
+    import threading
+
+    from libacm_tpu.scan import native
+
+    orig_lib, orig_tried = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, False
+        results = []
+        barrier = threading.Barrier(4)
+
+        def touch():
+            barrier.wait()
+            results.append(native._load() is not None)
+
+        threads = [threading.Thread(target=touch) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == [True] * 4
+    finally:
+        native._lib, native._tried = orig_lib, orig_tried

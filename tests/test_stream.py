@@ -214,3 +214,37 @@ def test_zero_byte_read_returns_empty():
     acm = acm_open_decoder(_mk(n_blocks=1))
     assert acm.read(1) == b""  # numwords==0 → 0, like the C
     assert acm.read(4096)  # stream still usable
+
+
+def test_acm_read_simulate_mode():
+    """The reference's dst=NULL mode (decode.c:859-866): simulate=True
+    advances the stream identically to a real read and returns the
+    consumed byte count (0 at EOF); interleaving simulate and real reads
+    yields the same suffix bytes a position-matched real stream yields."""
+    data = _mk()
+    real = acm_open_decoder(data)
+    sim = acm_open_decoder(data)
+    # simulate three chunks; mirror with real reads
+    consumed = 0
+    for n in (100, 256, 74):
+        got_sim = acm_read(sim, n, simulate=True)
+        got_real = acm_read(real, n)
+        assert isinstance(got_sim, int)
+        assert got_sim == len(got_real)
+        consumed += got_sim
+    assert sim.pcm_tell() == real.pcm_tell()
+    rest_sim = bytearray()
+    while True:
+        b = sim.read_loop(4096)
+        if not b:
+            break
+        rest_sim += b
+    rest_real = bytearray()
+    while True:
+        b = real.read_loop(4096)
+        if not b:
+            break
+        rest_real += b
+    assert bytes(rest_sim) == bytes(rest_real)
+    # drained: simulate now reports EOF as 0
+    assert acm_read(sim, 512, simulate=True) == 0

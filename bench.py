@@ -30,7 +30,12 @@ import sys
 import time
 
 # Persistent XLA compile cache: cold remote TPU compiles cost minutes here.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+# Repo-local (gitignored) so a /tmp wipe between sessions can't cold-start
+# the driver's round-end bench run.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent / ".jax_comp_cache"),
+)
 
 import numpy as np
 

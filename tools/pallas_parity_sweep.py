@@ -11,8 +11,11 @@ degrades the bench to "sweep skipped", not a hang.
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_comp_cache")
+)
+sys.path.insert(0, _REPO)
 
 import numpy as np  # noqa: E402
 

@@ -293,16 +293,19 @@ def time_all(
             return corpus.checksum()
 
         for attempt in (0, 1):
+            # never let one attempt (or its retry pause) run the bench
+            # past its self-budget: clamp to the time actually left
+            eff = min(timeout_s, max(60.0, deadline - time.time() - 30))
             t0 = time.perf_counter()
             try:
-                cs, ok = _deadline(attempt_once, timeout_s,
+                cs, ok = _deadline(attempt_once, eff,
                                    f"device run ({backend})")
                 if not ok:
                     raise TimeoutError("device run stalled")
             except ValueError:
                 raise  # semantic (unsupported backend), not transport
             except Exception as exc:
-                if attempt:
+                if attempt or time.time() + 150 > deadline:
                     raise
                 log(f"  device run failed ({type(exc).__name__}); "
                     "retrying in 60 s...")

@@ -28,7 +28,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(180)
 @pytest.mark.parametrize("n_procs,n_files,shard_sizes", [
     (2, 9, [5, 4]),
     # 4 ranks, uneven manifest: exercises >2-rank allgather over the
@@ -59,7 +58,9 @@ def test_multi_process_decode_matches_single(tmp_path, n_procs, n_files,
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=150)
+            # generous: 4 cold JAX imports share this VM's single core, and
+            # the suite may run alongside a bench/fuzz process
+            out, err = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

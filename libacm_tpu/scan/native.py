@@ -43,7 +43,7 @@ def _build() -> pathlib.Path | None:
     any code path the trainer missed (instead of treating it as cold).
     """
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src + b"|pgo1").hexdigest()[:16]
+    tag = hashlib.sha256(src + b"|pgo2").hexdigest()[:16]
     cache_dir = pathlib.Path(
         os.environ.get("LIBACM_TPU_CACHE", _HERE / "_build")
     )
@@ -56,12 +56,20 @@ def _build() -> pathlib.Path | None:
             suffix=".so", dir=cache_dir, delete=False
         ) as tmp:
             tmp_path = pathlib.Path(tmp.name)
-        cc = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC"]
+        # -mprefer-vector-width=512: gcc defaults to 256-bit vectors even
+        # with AVX-512 available; the fused host synth (pure uint32 FIR
+        # sweeps) runs ~20% faster at 512 and the serial scan is unharmed
+        # (interleaved A/B on the mixed bench corpus, tools/scanbench).
+        # Ice-Lake-class cores don't downclock for 512-bit integer ops.
+        cc = ["g++", "-O3", "-march=native", "-mprefer-vector-width=512",
+              "-std=c++17", "-fPIC"]
         plain = cc + ["-shared", "-o", str(tmp_path), str(_SRC)]
         try:
             subprocess.run(plain, check=True, capture_output=True)
         except subprocess.CalledProcessError:
-            cc.remove("-march=native")  # portability fallback
+            # portability fallback (non-x86 or older gcc)
+            cc.remove("-march=native")
+            cc.remove("-mprefer-vector-width=512")
             plain = cc + ["-shared", "-o", str(tmp_path), str(_SRC)]
             subprocess.run(plain, check=True, capture_output=True)
         try:

@@ -259,11 +259,18 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
     """Decode int16 words [start_word, start_word + n_words) in O(segment).
 
     Clamps to the decodable stream end (min(total_values, words_avail));
-    returns possibly fewer words at the tail, empty beyond it. The
-    serving path runs through the same machinery as corpus decode:
-    pooled wire buffers (no fresh multi-MB allocations per request) and
-    the measured backend selection (backend="auto" resolves per geometry
-    via the cached device shootout; "jax"/"pallas" force a kernel).
+    returns possibly fewer words at the tail, empty beyond it.
+
+    backend="auto" (the serving default) decodes the span with the fused
+    native host decoder: one C++ sweep, O(segment) work, no XLA in the
+    loop. Routing small segments through the jitted device synth would
+    specialize a program on the span's wire LENGTHS — across a large
+    random-access sweep those bucketed lengths explode combinatorially
+    into fresh ~1 s XLA compiles and ~4 MB of resident program each
+    (measured: a 500-file sweep cost 135 s and +594 MB RSS on the CPU
+    backend before this route; 1.4 s and +6 MB after). "jax"/"pallas"
+    force the device kernels (pooled wire buffers, measured per-geometry
+    selection) for bulk segments consumed on device.
     """
     h = index.header
     bl = h.block_len
@@ -285,6 +292,16 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
     warm = 1 if (a > 0 and h.rows >= 2) else a  # rows==1: prefix fallback
     a0 = a - warm
     nb = b - a0
+
+    if backend in ("auto", "host"):
+        hd = native.decode_host(
+            data, header=h, max_blocks=nb,
+            start_bit=int(index.bitpos[a0]) if a0 > 0 else None)
+        assert hd.n_good == nb, (hd.n_good, nb)  # indexed blocks are good
+        lo = start_word - a0 * bl
+        # copy: hd.pcm is a view of a refcount-gated pooled buffer
+        return hd.pcm[lo : lo + (stop_word - start_word)].copy()
+
     nbp = _round_up(nb, 8)
     ng, err, cls, vals, pay, wid, ncol, bits, _oorseg = _scan_span(
         data, h, int(index.bitpos[a0]) if a0 > 0 else None, nbp,

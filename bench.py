@@ -351,7 +351,16 @@ def time_all(
         if ref is not None:
             ref_t.append(time_reference_once(ref, files))
         if device_ok and i < n_dev and time.time() < deadline - 60:
-            dev_t.append(run_device())
+            try:
+                dev_t.append(run_device())
+            except Exception as exc:
+                # a mid-rounds transport failure must not discard the
+                # ref/host timings already collected (main()'s crash
+                # fallback would re-time host-only and drop all device
+                # and link telemetry) — keep what we have, stop trying
+                log(f"  device round failed ({type(exc).__name__}); "
+                    "continuing without further device rounds")
+                device_ok = False
         host_t.append(run_host())
         log(f"  round {i}: ref={ref_t[-1] if ref_t else float('nan'):.3f} "
             f"device={dev_t[-1] if dev_t else float('nan'):.3f} "
@@ -613,11 +622,20 @@ def _measure_and_report(files, n_files, ref, total_samples, budget_s,
     # Diagnostics AFTER the artifact is out (stderr only): a watchdog kill
     # from here on cannot lose the round's number.
     sweep_budget = deadline - time.time() - 30
-    if remote and healthy and sweep_budget > 120:
-        log("pallas parity sweep (levels 1-14, on hardware):")
-        log(f"  sweep: {pallas_parity_sweep(min(900.0, sweep_budget))}")
-    elif remote:
-        log("pallas parity sweep: skipped (degraded link or budget)")
+    try:
+        if remote and healthy and sweep_budget > 120:
+            log("pallas parity sweep (levels 1-14, on hardware):")
+            log(f"  sweep: {pallas_parity_sweep(min(900.0, sweep_budget))}")
+        elif remote:
+            log("pallas parity sweep: skipped (degraded link or budget)")
+    except Exception as exc:
+        # the artifact is already out — a diagnostics failure must not
+        # reach main()'s crash handler, which would print a SECOND JSON
+        # line (the one-line stdout contract is the driver interface)
+        try:
+            log(f"post-artifact diagnostics failed ({type(exc).__name__})")
+        except Exception:
+            pass
     return 0
 
 

@@ -566,6 +566,18 @@ class _WireBufs:
         self.dev = None
 
 
+class _NeverDone:
+    """Placeholder future: pins a _WireBufs as in-use between its scan
+    and the attachment of the real dispatch future."""
+
+    @staticmethod
+    def done() -> bool:
+        return False
+
+
+_SCAN_HOLD = _NeverDone()
+
+
 def _acquire_wire_bufs(b: int, nb: int, level: int, rows: int) -> _WireBufs:
     # The CPU backend zero-copies numpy arrays into jax.Arrays (aliasing:
     # verified empirically), so a reused buffer would corrupt live device
@@ -981,6 +993,12 @@ def decode_corpus_device(
                         g = chunk[s * per : (s + 1) * per]
                         arrays, w = _scan_cols_wire(g, level, rows, nb,
                                                     b_cap=per)
+                        # hold the buffer NOW: every shard group shares
+                        # the pool key (per, nb, level, rows), and until
+                        # the dispatch future exists free() would hand
+                        # group s's buffers to group s+1 (reset + payload
+                        # overwrite -> wrong PCM for shard s)
+                        w.fut = _SCAN_HOLD
                         groups.append((g, arrays))
                         wires.append(w)
                     out.summary.scan_s += time.perf_counter() - t0
@@ -1233,16 +1251,19 @@ def decode_stream_device(
     host-resident (the capability the reference approximates by
     streaming, decode.c:29,41-67); `source` may be a read()-only object.
     Default (None): one full-file window. Stale-amp-table streams
-    (hostile input) fall back to the exact host decoder (O(file)),
-    which re-reads the stream — from a consumed read()-only source that
-    is impossible, and a ValueError says so (AcmStream's windowed mode
-    handles hostile pipes exactly instead).
+    (hostile input) fall back to the exact host decoder (O(file)): in
+    full-file mode the bytes are already in hand (read()-only sources
+    included), while the WINDOWED scan must re-read the stream — from a
+    consumed read()-only source that is impossible, and a ValueError
+    says so (AcmStream's windowed mode handles hostile pipes exactly
+    instead).
     """
     from ..ops.synth_jax import synth_pcm_cols, synth_pcm_cols_blob
     from ..scan import native as _native
 
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     use_native = _native.available()
+    full_data: bytes | None = None  # full-file mode keeps the bytes in hand
     if not use_native or window_blocks is None:
         # one full-file window (and the only mode without the native
         # scanner, which then routes through the exact oracle fallback)
@@ -1257,6 +1278,7 @@ def decode_stream_device(
         header = parse_header(BitReader(data))
         if header is None:
             raise AcmException(AcmError.ERR_NOT_ACM)
+        full_data = data
         reader = _StreamReader(data[_stream_data_start(header):])
         # implicit window cap: the device unpack computes bit offsets in
         # int32, so one window's payload stream must stay under 2^31
@@ -1339,8 +1361,9 @@ def decode_stream_device(
         # stale-amp-table stream (hostile input) or no native scanner:
         # only the exact host decode reproduces the reference — which
         # needs the stream from the start (the dirty-table values depend
-        # on every prior block), so the source must be re-readable
-        data = _reread_source(source)
+        # on every prior block). Full-file mode already holds the whole
+        # stream; only the windowed scan must re-read the source.
+        data = full_data if full_data is not None else _reread_source(source)
         if data is None:
             raise ValueError(
                 "hostile (stale-amp-table) stream from an unseekable "

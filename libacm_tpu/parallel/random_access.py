@@ -193,50 +193,61 @@ class RandomAccessCorpus:
             self._index_dir.mkdir(parents=True, exist_ok=True)
 
     @staticmethod
-    def _touch(lru: dict, key, cap: int, make):
-        hit = lru.pop(key, None)
-        if hit is None:
-            hit = make()
-            while len(lru) >= cap:
-                lru.pop(next(iter(lru)))  # evict least recently used
-        lru[key] = hit
-        return hit
+    def _touch(lru: dict, key, cap: int, value):
+        """Insert/refresh under the caller's lock; evict past cap."""
+        lru.pop(key, None)
+        while len(lru) >= cap:
+            lru.pop(next(iter(lru)))  # evict least recently used
+        lru[key] = value
+        return value
 
     def _entry(self, i: int):
+        # The lock covers only LRU lookup/admission; the expensive work
+        # (file IO, the O(file) index scan — both GIL-releasing) runs
+        # OUTSIDE it so cold first-touches from many serving threads
+        # proceed in parallel. A racing miss may build the same entry
+        # twice; the duplicates are identical and the loser is dropped
+        # by admission — cheaper than serializing every cold read.
         with self._lock:
-            return self._entry_locked(i)
-
-    def _entry_locked(self, i: int):
-        data = self._touch(self._data_lru, i, self._max_files,
-                           lambda: self._read_source(self._sources[i]))
-
-        def make_index():
-            from ..format import resolve_channels
-
-            idx = path = None
-            if self._index_dir is not None:
-                import hashlib
-
-                path = self._index_dir / (
-                    hashlib.sha1(data).hexdigest() + ".abix")
-                try:
-                    idx = BlockIndex.from_bytes(path.read_bytes())
-                except (OSError, ValueError):
-                    idx = None  # absent or corrupt: rebuild below
-            if idx is None:
-                idx = build_index(data)
-                if path is not None:
-                    try:
-                        path.write_bytes(idx.to_bytes())
-                    except OSError:
-                        pass  # store is best-effort, never load-bearing
-            ch = resolve_channels(idx.header.channels, idx.header.wavc_file,
-                                  self._force_chans)
-            return idx, ch
-
-        idx, ch = self._touch(self._index_lru, i, self._max_indexes,
-                              make_index)
+            data = self._data_lru.pop(i, None)
+            if data is not None:
+                self._data_lru[i] = data  # refresh recency
+            hit = self._index_lru.pop(i, None)
+            if hit is not None:
+                self._index_lru[i] = hit
+        if data is None:
+            data = self._read_source(self._sources[i])
+        if hit is None:
+            hit = self._make_index(data)
+        with self._lock:
+            self._touch(self._data_lru, i, self._max_files, data)
+            idx, ch = self._touch(self._index_lru, i, self._max_indexes,
+                                  hit)
         return data, idx, ch
+
+    def _make_index(self, data: bytes):
+        from ..format import resolve_channels
+
+        idx = path = None
+        if self._index_dir is not None:
+            import hashlib
+
+            path = self._index_dir / (
+                hashlib.sha1(data).hexdigest() + ".abix")
+            try:
+                idx = BlockIndex.from_bytes(path.read_bytes())
+            except (OSError, ValueError):
+                idx = None  # absent or corrupt: rebuild below
+        if idx is None:
+            idx = build_index(data)
+            if path is not None:
+                try:
+                    path.write_bytes(idx.to_bytes())
+                except OSError:
+                    pass  # store is best-effort, never load-bearing
+        ch = resolve_channels(idx.header.channels, idx.header.wavc_file,
+                              self._force_chans)
+        return idx, ch
 
     def pcm_total(self, i: int) -> int:
         data, idx, ch = self._entry(i)

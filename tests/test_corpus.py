@@ -322,6 +322,13 @@ def test_decode_stream_device_hostile_unseekable_source():
 
     with pytest.raises(ValueError, match="stale-amp-table"):
         decode_stream_device(_Pipe(data), window_blocks=2)
+    # FULL-FILE mode already slurped the bytes: the same hostile stream
+    # from a consumed pipe must fall back using the in-hand data instead
+    # of demanding a re-readable source
+    pcm, meta = decode_stream_device(_Pipe(data))
+    np.testing.assert_array_equal(
+        np.asarray(pcm).reshape(-1)[: len(host.pcm)], host.pcm)
+    assert meta.status == host.status
     # a CLEAN stream from the same pipe type stays fine (no regression)
     rng = np.random.default_rng(8)
     clean = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=6)
@@ -410,3 +417,54 @@ def test_corpus_config_host_workers_routing():
     for data, r in zip(files, res):
         assert r.ok
         np.testing.assert_array_equal(r.pcm, _oracle_decode(data))
+
+
+def test_decode_stream_device_without_native_scanner(monkeypatch):
+    """With no native scanner every decode_stream_device call routes
+    through the exact oracle fallback — including from a read()-only
+    source, since full-file mode (the only no-native mode) already holds
+    the bytes. This used to fail with a misleading 'stale-amp-table'
+    ValueError for ALL pipe sources."""
+    import io as _io
+
+    from libacm_tpu.parallel.corpus import decode_stream_device
+    from libacm_tpu.scan import native
+
+    rng = np.random.default_rng(41)
+    clean = testing.speech_acm_bytes(rng, level=4, rows=8, n_blocks=6)
+    want = decode_corpus([clean])[0].pcm
+    monkeypatch.setattr(native, "available", lambda: False)
+
+    class _Pipe:
+        def __init__(self, b):
+            self._b = _io.BytesIO(b)
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+    for src in (clean, _io.BytesIO(clean), _Pipe(clean)):
+        pcm, meta = decode_stream_device(src)
+        np.testing.assert_array_equal(
+            np.asarray(pcm).reshape(-1)[: len(want)], want)
+        assert meta.status == 0
+
+
+def test_wire_pool_hold_blocks_reuse_between_scan_and_dispatch(monkeypatch):
+    """The sharded cols-wire loop scans all shard groups BEFORE the
+    dispatch future exists; every group shares the pool key, so without
+    the _SCAN_HOLD pin the pool would hand group s's buffers to group
+    s+1 (reset + payload overwrite -> wrong PCM for shard s). Pooling is
+    accelerator-only, so force it on."""
+    from libacm_tpu.parallel import corpus as C
+
+    monkeypatch.setattr(C.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(C._SCAN_TLS, "wire_pool", [], raising=False)
+    w1 = C._acquire_wire_bufs(2, 4, 3, 8)
+    w1.fut = C._SCAN_HOLD
+    w2 = C._acquire_wire_bufs(2, 4, 3, 8)
+    assert w2 is not w1  # held buffer must not be reused
+    w1.fut = None
+    w2.fut = None
+    w3 = C._acquire_wire_bufs(2, 4, 3, 8)
+    assert w3 is w1 or w3 is w2  # released buffers ARE reused
+    C._SCAN_TLS.wire_pool = []

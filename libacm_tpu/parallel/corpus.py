@@ -989,23 +989,32 @@ def decode_corpus_device(
                     per = -(-len(chunk) // n_shards)
                     groups = []
                     wires = []
-                    for s in range(n_shards):
-                        g = chunk[s * per : (s + 1) * per]
-                        arrays, w = _scan_cols_wire(g, level, rows, nb,
-                                                    b_cap=per)
-                        # hold the buffer NOW: every shard group shares
-                        # the pool key (per, nb, level, rows), and until
-                        # the dispatch future exists free() would hand
-                        # group s's buffers to group s+1 (reset + payload
-                        # overwrite -> wrong PCM for shard s)
-                        w.fut = _SCAN_HOLD
-                        groups.append((g, arrays))
-                        wires.append(w)
-                    out.summary.scan_s += time.perf_counter() - t0
-                    fut = submitter.submit(
-                        _dispatch_cols_wire_sharded, mesh, groups, wires,
-                        level, rows, nb, eff,
-                    )
+                    try:
+                        for s in range(n_shards):
+                            g = chunk[s * per : (s + 1) * per]
+                            arrays, w = _scan_cols_wire(g, level, rows, nb,
+                                                        b_cap=per)
+                            # hold the buffer NOW: every shard group
+                            # shares the pool key (per, nb, level, rows),
+                            # and until the dispatch future exists free()
+                            # would hand group s's buffers to group s+1
+                            # (reset + payload overwrite -> wrong PCM for
+                            # shard s)
+                            w.fut = _SCAN_HOLD
+                            groups.append((g, arrays))
+                            wires.append(w)
+                        out.summary.scan_s += time.perf_counter() - t0
+                        fut = submitter.submit(
+                            _dispatch_cols_wire_sharded, mesh, groups,
+                            wires, level, rows, nb, eff,
+                        )
+                    except BaseException:
+                        # a failed scan/submit must not leave the holds
+                        # pinned forever (the pool keeps busy buffers
+                        # unconditionally -> unbounded leak on retry)
+                        for w in wires:
+                            w.fut = None
+                        raise
                     for w in wires:
                         w.fut = fut
                     pending.append(fut)

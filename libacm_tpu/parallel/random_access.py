@@ -215,6 +215,8 @@ class RandomAccessCorpus:
             hit = self._index_lru.pop(i, None)
             if hit is not None:
                 self._index_lru[i] = hit
+                if data is not None:  # both warm: done (serving steady state)
+                    return data, hit[0], hit[1]
         if data is None:
             data = self._read_source(self._sources[i])
         if hit is None:
@@ -308,7 +310,15 @@ def read_segment(data: bytes, index: BlockIndex, start_word: int,
         hd = native.decode_host(
             data, header=h, max_blocks=nb,
             start_bit=int(index.bitpos[a0]) if a0 > 0 else None)
-        assert hd.n_good == nb, (hd.n_good, nb)  # indexed blocks are good
+        if hd.n_good != nb:
+            # externally reachable (never an internal invariant): the
+            # index said these blocks decode, so the BYTES must have
+            # changed since it was built (file rewritten under a cached
+            # or persisted index) — raising beats serving garbage PCM
+            raise ValueError(
+                f"index/stream mismatch: indexed span of {nb} blocks "
+                f"decodes only {hd.n_good} — stale BlockIndex for these "
+                "bytes (rebuild with build_index)")
         lo = start_word - a0 * bl
         # copy: hd.pcm is a view of a refcount-gated pooled buffer
         return hd.pcm[lo : lo + (stop_word - start_word)].copy()

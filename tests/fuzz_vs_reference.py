@@ -279,8 +279,13 @@ def one_round(rng: np.random.Generator) -> str:
         if avail > 1:
             a = int(rng.integers(0, avail - 1))
             nw = int(rng.integers(1, avail - a))
-            seg = read_segment(data, idx, a, nw)
-            assert np.array_equal(seg, got2[a : a + nw]), "segment mismatch"
+            # cover BOTH routes: the fused native host sweep (the serving
+            # default) and the XLA wire-coalescing device route ("jax"),
+            # which the default no longer exercises
+            be = "auto" if rng.random() < 0.5 else "jax"
+            seg = read_segment(data, idx, a, nw, backend=be)
+            assert np.array_equal(seg, got2[a : a + nw]), \
+                f"segment mismatch (backend={be})"
 
     # encoder axis: losslessly re-encode (optimal filler choices) and make
     # the REFERENCE BINARY decode the framework-authored bitstream — the

@@ -26,6 +26,15 @@ CORPUS_DIR = pathlib.Path(f"/tmp/libacm_tpu_rss_sweep_{N_FILES}")
 
 
 def rss_mb() -> float:
+    """CURRENT resident set (VmRSS), not ru_maxrss: the in-process corpus
+    synthesis sets a lifetime peak that would mask all serving-phase
+    growth (peak-vs-peak reads 0 even if serving held the whole corpus).
+    What the sweep bounds — LRU cache residency — is persistent, so
+    current RSS sampled after each pass captures it."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
@@ -54,12 +63,13 @@ def main() -> int:
     for i in order:
         rac.read(i, 5, 30)
     fwd_s = time.perf_counter() - t0
+    rss_fwd = rss_mb()
     np.random.default_rng(0).shuffle(order)
     t0 = time.perf_counter()
     for i in order:
         rac.read(i, 5, 30)
     rev_s = time.perf_counter() - t0
-    grew = rss_mb() - base
+    grew = max(rss_fwd, rss_mb()) - base
     ok = grew <= RSS_BUDGET_MB and rac.cached_files <= 8
     print(f"rss_sweep: n={N_FILES} corpus={corpus_mb:.1f}MB "
           f"rss_base={base:.1f}MB rss_growth={grew:.1f}MB "

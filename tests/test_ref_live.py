@@ -46,6 +46,34 @@ def test_randomized_live_parity(seed, ref_acmtool, tmp_path):
     np.testing.assert_array_equal(ref, mine)
 
 
+@pytest.mark.parametrize("level,rows", [
+    (10, 4), (11, 3), (12, 2), (13, 1), (14, 1), (15, 1)])
+def test_high_level_live_parity(level, rows, ref_acmtool, tmp_path):
+    """Levels 10-15 (cols 1024..32768) vs the C binary.
+
+    The strip loop degenerates to step_subcount=1 above level 9
+    (decode.c:538-541) and the wrapbuf spans up to 65534 ints — geometry
+    the randomized parity test (levels 0-8) and the bench corpus
+    (max level 10) never reach. Both the oracle and the fused native
+    host decoder must byte-match."""
+    rng = np.random.default_rng(1000 + level)
+    data = testing.random_acm_bytes(rng, level=level, rows=rows,
+                                    n_blocks=2, max_pwr=6)
+    src = tmp_path / "t.acm"
+    src.write_bytes(data)
+    ref, _ = _ref_raw(ref_acmtool, src, tmp_path)
+
+    _, pcm, _ = oracle.decode_bytes(data)
+    np.testing.assert_array_equal(ref, pcm[: len(ref)])
+    assert len(pcm) == len(ref)
+
+    from libacm_tpu.scan import native
+    if native.available():
+        from libacm_tpu.parallel import decode_corpus
+        (res,) = decode_corpus([data], backend="host")
+        np.testing.assert_array_equal(ref, res.pcm)
+
+
 @pytest.mark.parametrize("total,channels", [
     # total_bytes wraps NEGATIVE as C int (acmtool.c:272): the reference
     # emits nothing past the WAV header — so must we, instead of writing

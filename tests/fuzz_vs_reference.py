@@ -76,8 +76,15 @@ def ref_decode(data: bytes):
 def gen_stream(rng: np.random.Generator) -> tuple[bytes, str]:
     """The round's stream synthesis + mutation (deterministic given the
     RNG state — re-run with a captured state to regenerate a repro)."""
-    level = int(rng.integers(0, 9))
-    rows = int(rng.integers(1, 80))
+    if rng.random() < 0.06:
+        # high-level tail (cols 512..32768): the degenerate strip loop
+        # (decode.c:538-541) and huge wrapbuf; rows stay tiny to keep a
+        # round's block_len (and the reference's decode time) bounded
+        level = int(rng.integers(9, 16))
+        rows = int(rng.integers(1, max(2, 1 << max(13 - level, 0))))
+    else:
+        level = int(rng.integers(0, 9))
+        rows = int(rng.integers(1, 80))
     nb = int(rng.integers(1, 7))
     style = rng.random()
     if style < 0.5:

@@ -4,12 +4,24 @@ Prints ONE JSON line:
   {"metric": "corpus_decode_Msamples_per_s", "value": N,
    "unit": "Msamples/s", "vs_baseline": N/<C reference single-core>}
 
-The headline is the device-resident decode when the TPU relay link ran at
-decoder speed; when every device round was link-bound (bulk bandwidth under
-HEALTHY_MBPS — the artifact says so via headline_path/link_MBps), the host
-full-decode path carries the headline and the device numbers are reported
-alongside. Self-budgeted (LIBACM_TPU_BENCH_BUDGET_S, default 2400 s): the
-JSON line always appears, whatever the relay weather.
+Artifact-first structure (round 3 was killed by an EXTERNAL timeout after
+burning its window waiting on a degraded relay — rc=124, no number):
+
+  Phase 1 (no relay dependency, ~1 min): interleaved reference/host-path
+  rounds secure a complete host-headline artifact. From that point the
+  JSON line is guaranteed: SIGTERM/SIGINT and atexit flush it, so even a
+  driver-side kill cannot lose the round's number.
+
+  Phase 2 (device upgrade, every step deadline-guarded): relay wait capped
+  at a small fraction of the budget, device-resident rounds (checksum-only
+  sync — the ingest regime where PCM is consumed on device), the
+  per-geometry pallas-vs-XLA shootout, and the on-HW parity sweep. If the
+  device beat the reference (or the window was healthy), the headline is
+  upgraded to the device-resident number; otherwise headline_path says
+  why and the device numbers + link telemetry ride alongside.
+
+Self-budgeted (LIBACM_TPU_BENCH_BUDGET_S, default 1200 s — round 3 proved
+2400 s outlives the driver's window).
 
 The corpus is synthesized deterministically with the in-repo test encoder
 (no game assets) in the classic Fallout speech geometry — level 7 (cols=128),
@@ -255,183 +267,270 @@ def wait_for_relay(budget_s: float) -> tuple[float, float]:
         time.sleep(45)
 
 
-def time_all(
-    ref: pathlib.Path | None, files: list[pathlib.Path], total_samples: int,
-    healthy: bool, deadline: float, link_mbps: float = float("inf"),
-) -> tuple[float | None, float, float | None, dict, bool]:
-    """(device s, host s, reference s | None, backend shootout, healthy).
+_ARTIFACT: dict | None = None
+_EMITTED = False
 
-    Device-resident is the headline: the corpus-decode use case is dataset
-    ingest for TPU jobs, where PCM is consumed on device (and the
-    reference's own benchmark mode, `acmtool -n`, likewise discards its
-    output). The checksum is a device reduction that forces every PCM
-    sample to materialize; only scalars cross the wire.
 
-    Reference and framework runs are INTERLEAVED round-robin: this host's
-    CPU throughput drifts ±30% between "idle" windows, so sequential
-    phases would measure the weather, not the decoders; min-of-N over
-    interleaved rounds makes the ratio meaningful (and short cooldowns
-    let the TPU relay queue drain between device runs). The shootout
-    times the XLA pass chain vs the fused Pallas kernel on the same
-    corpus so the `auto` backend selection is grounded in a hardware
-    measurement.
+def set_artifact(d: dict) -> None:
+    global _ARTIFACT
+    _ARTIFACT = d
+
+
+def emit_artifact() -> None:
+    """Print the one-JSON-line artifact exactly once (idempotent): the
+    normal end of main, the atexit hook, and the signal guard all call
+    this, and whichever fires first wins."""
+    global _EMITTED
+    if _EMITTED or _ARTIFACT is None:
+        return
+    _EMITTED = True
+    print(json.dumps(_ARTIFACT, allow_nan=False), flush=True)
+
+
+def _install_artifact_guard() -> None:
+    """The artifact must survive an EXTERNAL killer: round 3 died at
+    rc=124 (driver timeout SIGTERM) with no number after burning its
+    window on a degraded relay. SIGTERM/SIGINT/SIGHUP now flush the best
+    artifact secured so far and exit 0; atexit covers unforeseen clean
+    exits (only SIGKILL remains unguardable, and the phase structure
+    makes the window for that ~1 minute of pure host work)."""
+    import atexit
+    import signal
+
+    def _flush(signum, frame):
+        log(f"signal {signum}: flushing artifact and exiting")
+        emit_artifact()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, _flush)
+        except (OSError, ValueError, AttributeError):
+            pass
+    atexit.register(emit_artifact)
+
+
+def _ratio(num: float | None, den: float | None) -> float | None:
+    return round(num / den, 3) if num and den else None
+
+
+def _device_phase(
+    artifact: dict, ref: pathlib.Path | None, files: list[pathlib.Path],
+    total_samples: int, geoms: list[tuple[int, int]], ref_t: list[float],
+    deadline: float,
+) -> None:
+    """Upgrade the secured host artifact with device-resident numbers,
+    the per-geometry pallas/XLA shootout, and the on-HW parity sweep.
+    Mutates `artifact` in place; every step is deadline-guarded so a
+    stalled relay degrades fields to null instead of losing the line.
+
+    The device-resident round is the ingest regime (BASELINE configs
+    4/5): PCM is produced and CONSUMED on device; the checksum is a
+    device reduction over every sample and only scalars cross the wire.
+    Reference and device runs stay INTERLEAVED (one ref round per device
+    round, folded into the same min-of-N as phase 1) because this host's
+    CPU drifts ±30% between windows.
     """
-    from libacm_tpu.parallel import decode_corpus, decode_corpus_device
+    from libacm_tpu.parallel import decode_corpus_device
 
     paths = [str(f) for f in files]
+
+    def backend_name():
+        import jax
+
+        return jax.default_backend()
+
+    bk, ok = _deadline(backend_name, 240.0, "backend detection")
+    if not ok:
+        log("backend detection stalled; device fields stay null")
+        return
+    if bk in ("cpu", "gpu"):
+        log(f"{bk} backend: no TPU, device phase skipped")
+        return
+    # Relay wait capped at min(300 s, 25% of remaining budget): waiting
+    # for a usable shared link is measurement hygiene, but round 3 proved
+    # an uncapped wait loses the race against the external killer.
+    left = deadline - time.time()
+    probe_s, link_mbps = wait_for_relay(max(0.0, min(300.0, 0.25 * left)))
+    if probe_s == probe_s and probe_s != float("inf"):
+        artifact["relay_probe_s"] = round(probe_s, 3)
+    artifact["link_MBps"] = (round(link_mbps, 1)
+                             if link_mbps != float("inf") else None)
+    healthy = link_mbps >= HEALTHY_MBPS
+
     want_sum = None
 
     def run_device(backend: str = "auto", timeout_s: float = 420.0) -> float:
-        """One timed device-resident decode; retries once after a pause on
-        relay transport errors (the remote compile/execute service drops
-        connections under load — a transient, not a result). Deadline-
-        guarded: a stalled link raises TimeoutError instead of hanging."""
+        """One timed device-resident decode (checksum-only sync).
+        Deadline-guarded: a stalled link raises TimeoutError instead of
+        hanging jax.device_put forever."""
         nonlocal want_sum
 
         def attempt_once():
             corpus = decode_corpus_device(paths, backend=backend)
             return corpus.checksum()
 
-        for attempt in (0, 1):
-            # never let one attempt (or its retry pause) run the bench
-            # past its self-budget: clamp to the time actually left
-            eff = min(timeout_s, max(60.0, deadline - time.time() - 30))
-            t0 = time.perf_counter()
-            try:
-                cs, ok = _deadline(attempt_once, eff,
-                                   f"device run ({backend})")
-                if not ok:
-                    raise TimeoutError("device run stalled")
-            except ValueError:
-                raise  # semantic (unsupported backend), not transport
-            except Exception as exc:
-                if attempt or time.time() + 150 > deadline:
-                    raise
-                log(f"  device run failed ({type(exc).__name__}); "
-                    "retrying in 60 s...")
-                time.sleep(60)
-                continue
-            dt = time.perf_counter() - t0
-            if want_sum is None:
-                want_sum = cs
-            assert cs == want_sum, f"checksum mismatch (backend={backend})"
-            return dt
-
-    def run_host() -> float:
+        eff = min(timeout_s, max(60.0, deadline - time.time() - 30))
         t0 = time.perf_counter()
-        res = decode_corpus(paths)
-        got = sum(len(r.pcm) for r in res if r.pcm is not None)
+        cs, ok = _deadline(attempt_once, eff, f"device run ({backend})")
+        if not ok:
+            raise TimeoutError("device run stalled")
         dt = time.perf_counter() - t0
-        # hostile members decode partially by design; the decoded total
-        # is pinned by the warmup (self-consistency, not completeness)
-        assert got == total_samples, (got, total_samples)
+        if want_sum is None:
+            want_sum = cs
+        assert cs == want_sum, f"checksum mismatch (backend={backend})"
         return dt
 
     # In a degraded window each device round costs wire/link-bandwidth
     # (~20 s at 1.4 MB/s): run only 2 such rounds so the artifact still
     # carries device numbers without blowing the budget — and none at all
     # below 1 MB/s, where a single ~28 MiB wire transfer runs to minutes.
-    n_dev = 7 if healthy else (2 if link_mbps >= 1.0 else 0)
-    log("framework: warmup (compile)...")
-    device_ok = n_dev > 0
-    if device_ok:
-        try:
-            run_device(timeout_s=900.0)  # first run may compile cold
-        except Exception as exc:
-            # never lose the whole artifact to a dead link: fall back to
-            # host-only measurement, device fields null
-            log(f"device path unavailable ({type(exc).__name__}: {exc}); "
-                "continuing host-only")
-            device_ok = False
-    run_host()
-    if ref is not None:
-        time_reference_once(ref, files)  # warm page cache
-    dev_t, host_t, ref_t = [], [], []
-    for i in range(7):
+    n_dev = 5 if healthy else (2 if link_mbps >= 1.0 else 0)
+    if n_dev == 0:
+        log(f"link at {link_mbps:.1f} MB/s: device rounds skipped")
+        return
+    log("framework: device warmup (compile)...")
+    try:
+        run_device(timeout_s=min(720.0, max(120.0,
+                                            deadline - time.time() - 240)))
+    except Exception as exc:
+        log(f"device path unavailable ({type(exc).__name__}: {exc}); "
+            "host artifact stands")
+        return
+    dev_t: list[float] = []
+    for i in range(n_dev):
+        if time.time() > deadline - 90:
+            break
         if ref is not None:
             ref_t.append(time_reference_once(ref, files))
-        if device_ok and i < n_dev and time.time() < deadline - 60:
-            try:
-                dev_t.append(run_device())
-            except Exception as exc:
-                # a mid-rounds transport failure must not discard the
-                # ref/host timings already collected (main()'s crash
-                # fallback would re-time host-only and drop all device
-                # and link telemetry) — keep what we have, stop trying
-                log(f"  device round failed ({type(exc).__name__}); "
-                    "continuing without further device rounds")
-                device_ok = False
-        host_t.append(run_host())
-        log(f"  round {i}: ref={ref_t[-1] if ref_t else float('nan'):.3f} "
-            f"device={dev_t[-1] if dev_t else float('nan'):.3f} "
-            f"host={host_t[-1]:.3f} s")
+        try:
+            dev_t.append(run_device())
+        except Exception as exc:
+            log(f"  device round failed ({type(exc).__name__}); "
+                "stopping device rounds")
+            break
+        log(f"  device round {i}: ref={ref_t[-1] if ref_t else float('nan'):.3f} "
+            f"device={dev_t[-1]:.3f} s")
         time.sleep(1.5)  # let the relay queue drain between rounds
 
-    # A degraded relay window floors the device path at link speed (the
-    # wire is ~28 MiB; at the measured worst ~1.4 MB/s that alone is ~20 s
-    # against a ~0.8 s reference decode). If the device lost AND the link
-    # is degraded, give it one bounded second chance and fold extra device
-    # rounds into the same min-of-N — the reference rounds above are
-    # unaffected and the protocol stays interleaved-fair.
-    budget = deadline - time.time()
-    dev_lost = not dev_t or (ref_t and min(dev_t) > min(ref_t))
-    if dev_lost and budget > 300:
-        # Device lost (or never ran): re-probe the link NOW — the pre-round
-        # probe may have read healthy and the link collapsed mid-run, or
-        # vice versa. `healthy` must describe the window min(dev_t) came
-        # from, so from here it is earned only by a completed retry round
-        # (or by a genuinely healthy link with the existing rounds).
-        _, mbps = safe_probe(timeout_s=min(240.0, budget - 120))
-        if mbps < HEALTHY_MBPS:
-            healthy = False
-            log("device path ran link-bound; waiting for one healthy window...")
-            _, mbps = wait_for_relay(
-                min(600.0, deadline - time.time() - 180))
+    # If the device lost against a degraded link, give it ONE bounded
+    # second chance in a healthy window (the pre-round probe may have
+    # read healthy and the link collapsed mid-run, or vice versa).
+    ref_min = min(ref_t) if ref_t else None
+    dev_lost = not dev_t or (ref_min and min(dev_t) > ref_min)
+    if dev_lost and deadline - time.time() > 420 and not healthy:
+        log("device ran link-bound; waiting for one healthy window...")
+        _, mbps = wait_for_relay(min(240.0, deadline - time.time() - 300))
         if mbps >= HEALTHY_MBPS:
             retried = 0
             try:
                 for i in range(3):
-                    left = deadline - time.time()
-                    if left < 90:
+                    if deadline - time.time() < 120:
                         break
                     if ref is not None:
                         ref_t.append(time_reference_once(ref, files))
-                    dev_t.append(run_device(timeout_s=min(420.0, left - 30)))
+                    dev_t.append(run_device(
+                        timeout_s=min(300.0, deadline - time.time() - 60)))
                     retried += 1
-                    log(f"  retry round {i}: "
-                        f"ref={ref_t[-1] if ref_t else float('nan'):.3f} "
-                        f"device={dev_t[-1]:.3f} s")
+                    log(f"  retry round {i}: device={dev_t[-1]:.3f} s")
                     time.sleep(1.5)
             except Exception as exc:
                 log(f"  retry rounds abandoned ({type(exc).__name__})")
-            # a completed retry round is the only proof this window ran at
-            # decoder speed; transport failures leave it unproven
+            # a completed retry round is the only proof this window ran
+            # at decoder speed
             healthy = retried > 0
-        device_ok = device_ok or bool(dev_t)
+            artifact["link_MBps"] = (round(mbps, 1)
+                                     if mbps != float("inf") else None)
 
-    # The backend shootout is diagnostic stderr + two JSON fields; in a
-    # link-bound window it would measure the relay 8 more times for
-    # nothing — skip it (fields go null) unless the link is usable.
-    shoot = {}
-    run_shootout = device_ok and (healthy or not dev_t)
-    for backend in ("jax", "pallas") if run_shootout else ():
-        try:
-            times = []
-            for i in range(4):  # warmup/compile + 3 timed
-                left = deadline - time.time()
-                if left < 90:
-                    raise TimeoutError("budget")
-                t = run_device(backend, timeout_s=min(420.0, left - 30))
-                if i:
-                    times.append(t)
-            bt = min(times)
-            shoot[backend] = round(total_samples / bt / 1e6, 1)
-            log(f"  backend {backend}: {bt:.3f} s = {shoot[backend]} Msamples/s")
-        except Exception as e:  # pallas may be unsupported on this backend
-            log(f"  backend {backend}: failed ({type(e).__name__}: {e})")
-            shoot[backend] = None
-    return (min(dev_t) if dev_t else None, min(host_t),
-            min(ref_t) if ref_t else None, shoot, healthy)
+    if not dev_t:
+        return
+    ref_min = min(ref_t) if ref_t else None
+    ref_msps = total_samples / ref_min / 1e6 if ref_min else None
+    dev_msps = total_samples / min(dev_t) / 1e6
+    artifact["device_resident_Msamples_per_s"] = round(dev_msps, 2)
+    artifact["device_vs_baseline"] = _ratio(dev_msps, ref_msps)
+    log(f"framework (device-resident): {min(dev_t):.3f} s = "
+        f"{dev_msps:.1f} Msamples/s")
+
+    # Headline upgrade: the device-resident decode is the headline when
+    # the link let it run at decoder speed — or when it beat the
+    # reference anyway (underselling, but honest). Otherwise the host
+    # path keeps the headline, flagged with link telemetry.
+    host_msps = artifact["host_path_Msamples_per_s"]
+    artifact["host_vs_baseline"] = _ratio(host_msps, ref_msps)
+    dev_won = dev_msps is not None and ref_msps and dev_msps >= ref_msps
+    if healthy or dev_won:
+        artifact["value"] = round(dev_msps, 2)
+        artifact["headline_path"] = "device"
+        artifact["vs_baseline"] = _ratio(dev_msps, ref_msps)
+    else:
+        artifact["headline_path"] = "host-linkbound"
+        artifact["vs_baseline"] = _ratio(host_msps, ref_msps)
+        log(f"headline stays on the host path: link "
+            f"{link_mbps:.1f} MB/s this window")
+
+    # Corpus-level backend shootout (full pipeline, each backend forced);
+    # link-bound windows would measure the relay 8 more times — skip.
+    if healthy:
+        for backend in ("jax", "pallas"):
+            try:
+                times = []
+                for i in range(3):  # warmup + 2 timed
+                    if deadline - time.time() < 120:
+                        raise TimeoutError("budget")
+                    t = run_device(backend, timeout_s=min(
+                        300.0, deadline - time.time() - 60))
+                    if i:
+                        times.append(t)
+                msps = round(total_samples / min(times) / 1e6, 1)
+                artifact[f"backend_{backend}_Msamples_per_s"] = msps
+                log(f"  corpus backend {backend}: {msps} Msamples/s")
+            except Exception as e:
+                log(f"  corpus backend {backend}: failed "
+                    f"({type(e).__name__}: {e})")
+
+    # Per-geometry pallas-vs-XLA shootout (device-resident compute, no
+    # wire): the numbers `auto` selection is grounded in, recorded in the
+    # artifact tail so the kernel's wins/losses are on the record.
+    if healthy and deadline - time.time() > 180:
+        from libacm_tpu.ops.synth_pallas import pallas_supported
+        from libacm_tpu.parallel.corpus import measure_backend
+
+        table: dict[str, dict] = {}
+        for level, rows in geoms:
+            if deadline - time.time() < 150:
+                break
+            if not pallas_supported(level, rows):
+                continue
+            try:
+                res, ok = _deadline(
+                    lambda: measure_backend(level, rows),
+                    min(300.0, deadline - time.time() - 90),
+                    f"shootout {level}/{rows}")
+                if not ok:
+                    break
+                winner, speeds = res
+                table[f"{level}/{rows}"] = {
+                    "winner": winner,
+                    **{k: round(v, 1) for k, v in speeds.items()},
+                }
+                log(f"  geometry {level}/{rows}: {table[f'{level}/{rows}']}")
+            except Exception as exc:
+                log(f"  geometry {level}/{rows} shootout failed "
+                    f"({type(exc).__name__})")
+        if table:
+            artifact["pallas_shootout"] = table
+
+    # On-HW parity sweep (subprocess, bounded): bit-equality pallas vs
+    # XLA at every supported level, recorded in the artifact.
+    sweep_left = deadline - time.time() - 30
+    if healthy and sweep_left > 120:
+        log("pallas parity sweep (levels 1-14, on hardware):")
+        artifact["pallas_parity_sweep"] = pallas_parity_sweep(
+            min(900.0, sweep_left))
+        log(f"  sweep: {artifact['pallas_parity_sweep']}")
+    else:
+        artifact["pallas_parity_sweep"] = "skipped (degraded link or budget)"
 
 
 def time_native_scan(files: list[pathlib.Path], total: int) -> float | None:
@@ -473,169 +572,96 @@ def main() -> int:
     # even if the relay is dead all window — an external timeout killing
     # this process loses the whole round's number.
     t_start = time.time()
-    budget_s = float(os.environ.get("LIBACM_TPU_BENCH_BUDGET_S", "2400"))
+    budget_s = float(os.environ.get("LIBACM_TPU_BENCH_BUDGET_S", "1200"))
     deadline = t_start + budget_s
+    _install_artifact_guard()
     files = ensure_corpus()
     n_files = len(files)
+    ref = ensure_reference()
+    if ref is None:
+        log("reference binary unavailable; vs_baseline=null")
     # the decoded-sample total comes from an actual host decode (hostile
     # members decode partially; both tools decode the same words)
     from libacm_tpu.parallel import decode_corpus
 
-    res = decode_corpus([str(f) for f in files])
+    paths = [str(f) for f in files]
+    res = decode_corpus(paths)
     total_samples = sum(len(r.pcm) for r in res if r.pcm is not None)
-    n_buckets = len({(r.info.acm_level, r.info.acm_rows) for r in res
-                     if r.info is not None})
+    geoms = sorted({(r.info.acm_level, r.info.acm_rows) for r in res
+                    if r.info is not None})
     wire = sum(f.stat().st_size for f in files)
-    log(f"corpus: {n_files} files, {n_buckets} (level,rows) buckets "
+    log(f"corpus: {n_files} files, {len(geoms)} (level,rows) buckets "
         f"(majority level {LEVEL}/rows {ROWS}; minority levels 0/4/10, "
         f"WAVC, {N_HOSTILE} hostile) = {total_samples/1e6:.1f} Msamples "
         f"decoded, {wire*8/total_samples:.2f} bits/sample on disk")
 
-    ref = ensure_reference()
-    if ref is None:
-        log("reference binary unavailable; vs_baseline=null")
+    def run_host() -> float:
+        t0 = time.perf_counter()
+        out = decode_corpus(paths)
+        got = sum(len(r.pcm) for r in out if r.pcm is not None)
+        dt = time.perf_counter() - t0
+        # hostile members decode partially by design; the decoded total
+        # is pinned by the warmup (self-consistency, not completeness)
+        assert got == total_samples, (got, total_samples)
+        return dt
 
-    try:
-        return _measure_and_report(files, n_files, ref, total_samples,
-                                   budget_s, deadline, t_start)
-    except Exception as exc:
-        # LAST-RESORT artifact: whatever blew up (an unforeseen device/
-        # transport error escaping the guards), the one-JSON-line contract
-        # holds — re-time the host path (pure host work, no device) and
-        # report it as the headline, flagged.
-        log(f"measurement crashed ({type(exc).__name__}: {exc}); "
-            "emitting host-only artifact")
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            decode_corpus([str(f) for f in files])
-            best = min(best, time.perf_counter() - t0)
-        host_msps = total_samples / best / 1e6
-        ref_msps = None
+    # ---- Phase 1: the headline, with NO relay dependency (~1 min) ----
+    # Reference and host-path runs INTERLEAVED round-robin: this host's
+    # CPU throughput drifts ±30% between "idle" windows, so sequential
+    # phases would measure the weather, not the decoders.
+    ref_t: list[float] = []
+    host_t: list[float] = []
+    if ref is not None:
+        time_reference_once(ref, files)  # warm the page cache
+    for i in range(5):
         if ref is not None:
-            rbest = min(time_reference_once(ref, files) for _ in range(3))
-            ref_msps = total_samples / rbest / 1e6
-        print(json.dumps({
-            "metric": "corpus_decode_Msamples_per_s",
-            "value": round(host_msps, 2),
-            "unit": "Msamples/s",
-            "vs_baseline": (round(host_msps / ref_msps, 3)
-                            if ref_msps else None),
-            "headline_path": "host-crashfallback",
-            "host_path_Msamples_per_s": round(host_msps, 2),
-            "bench_wall_s": round(time.time() - t_start, 1),
-        }, allow_nan=False), flush=True)
-        return 0
-
-
-def _measure_and_report(files, n_files, ref, total_samples, budget_s,
-                        deadline, t_start) -> int:
-    def backend_name():
-        import jax
-
-        return jax.default_backend()
-
-    # even backend enumeration can stall on a dead tunnel — guarded, and a
-    # stall is treated as a remote backend with a dead link
-    bk, ok = _deadline(backend_name, 300.0, "backend detection")
-    remote = bk not in ("cpu", "gpu") if ok else True
-    if remote and ok:
-        # leave >= ~900 s of budget for the timed rounds themselves
-        probe_s, link_mbps = wait_for_relay(
-            max(0.0, min(budget_s - 900, deadline - time.time() - 900)))
-    elif remote:
-        probe_s, link_mbps = float("inf"), 0.0
-    else:
-        probe_s, link_mbps = 0.0, float("inf")
-    healthy = link_mbps >= HEALTHY_MBPS
-
+            ref_t.append(time_reference_once(ref, files))
+        host_t.append(run_host())
+        log(f"  phase1 round {i}: "
+            f"ref={ref_t[-1] if ref_t else float('nan'):.3f} "
+            f"host={host_t[-1]:.3f} s")
     # standalone bitstream-scan throughput (host CPU, no device): the
     # serial VLC front-end is the Amdahl term under every number
     scan_msps = time_native_scan(files, total_samples)
     if scan_msps:
-        log(f"native packed scan alone: {scan_msps:.1f} Msamples/s "
-            f"({total_samples / scan_msps / 1e6:.3f} s host CPU)")
+        log(f"native packed scan alone: {scan_msps:.1f} Msamples/s")
 
-    fw_s, host_s, ref_s, shoot, healthy = time_all(
-        ref, files, total_samples, healthy, deadline, link_mbps)
-    if ref_s is not None:
-        ref_msps = total_samples / ref_s / 1e6
-        log(f"reference acmtool -n: {ref_s:.3f} s = {ref_msps:.1f} Msamples/s")
-    else:
-        ref_msps = None
-    host_msps = total_samples / host_s / 1e6
-    dev_msps = total_samples / fw_s / 1e6 if fw_s is not None else None
-    # Headline selection: the device-resident decode is the headline
-    # whenever the link let it run at decoder speed. When every device
-    # round was link-bound (bulk bandwidth below the corpus's ~28 MiB of
-    # near-entropy wire / the reference's ~0.8 s decode), the number
-    # measures the shared relay, not this framework — the host path is
-    # the same complete corpus decode (what `acmtool -n` itself times),
-    # so it carries the headline and the device numbers + link telemetry
-    # are reported alongside, flagged via headline_path.
-    if dev_msps is not None:
-        realtime = dev_msps * 1e6 / RATE
-        log(f"framework (device-resident): {fw_s:.3f} s = {dev_msps:.1f} "
-            f"Msamples/s ({realtime:.0f}x realtime @ {RATE} Hz mono)")
-    else:
-        log("framework (device-resident): UNAVAILABLE this window")
-    log(f"framework (PCM fetched to host): {host_s:.3f} s = "
-        f"{host_msps:.1f} Msamples/s")
-    dev_won = (dev_msps is not None and ref_msps is not None
-               and dev_msps >= ref_msps)
-    if dev_msps is not None and (healthy or dev_won):
-        # dev_won in a degraded window undersells the device (it beat the
-        # reference through a throttled link) — still the honest headline
-        fw_msps, headline = dev_msps, "device"
-    else:
-        fw_msps, headline = host_msps, ("host-linkbound" if dev_msps is not None
-                                        else "host")
-        log(f"headline falls back to the host path ({headline}): "
-            f"link bulk bandwidth {link_mbps:.1f} MB/s this window")
-
-    print(json.dumps({
+    ref_msps = total_samples / min(ref_t) / 1e6 if ref_t else None
+    host_msps = total_samples / min(host_t) / 1e6
+    if ref_msps:
+        log(f"reference acmtool -n: {ref_msps:.1f} Msamples/s")
+    log(f"framework (host path): {host_msps:.1f} Msamples/s")
+    set_artifact({
         "metric": "corpus_decode_Msamples_per_s",
-        "value": round(fw_msps, 2),
+        "value": round(host_msps, 2),
         "unit": "Msamples/s",
-        "vs_baseline": round(fw_msps / ref_msps, 3) if ref_msps else None,
-        "headline_path": headline,
-        "device_Msamples_per_s": (round(dev_msps, 2)
-                                  if dev_msps is not None else None),
-        "device_vs_baseline": (round(dev_msps / ref_msps, 3)
-                               if dev_msps and ref_msps else None),
+        "vs_baseline": _ratio(host_msps, ref_msps),
+        "headline_path": "host",
+        "device_resident_Msamples_per_s": None,
+        "device_vs_baseline": None,
         "host_path_Msamples_per_s": round(host_msps, 2),
-        "host_vs_baseline": (round(host_msps / ref_msps, 3)
-                             if ref_msps else None),
+        "host_vs_baseline": _ratio(host_msps, ref_msps),
         "scan_Msamples_per_s": round(scan_msps, 1) if scan_msps else None,
-        "backend_jax_Msamples_per_s": shoot.get("jax"),
-        "backend_pallas_Msamples_per_s": shoot.get("pallas"),
-        # math.isfinite: json.dumps would emit bare `Infinity` (invalid
-        # JSON) for a stalled probe, poisoning the whole artifact
-        "relay_probe_s": (round(probe_s, 3)
-                          if probe_s == probe_s and probe_s != float("inf")
-                          else None),
-        "link_MBps": (round(link_mbps, 1)
-                      if link_mbps != float("inf") else None),
+        "backend_jax_Msamples_per_s": None,
+        "backend_pallas_Msamples_per_s": None,
+        "pallas_shootout": None,
+        "pallas_parity_sweep": None,
+        "relay_probe_s": None,
+        "link_MBps": None,
         "bench_wall_s": round(time.time() - t_start, 1),
-    }, allow_nan=False), flush=True)
+    })
+    log(f"phase 1 artifact secured at t+{time.time() - t_start:.0f} s "
+        "(guarded against SIGTERM from here)")
 
-    # Diagnostics AFTER the artifact is out (stderr only): a watchdog kill
-    # from here on cannot lose the round's number.
-    sweep_budget = deadline - time.time() - 30
+    # ---- Phase 2: device upgrade (deadline-guarded end to end) ----
     try:
-        if remote and healthy and sweep_budget > 120:
-            log("pallas parity sweep (levels 1-14, on hardware):")
-            log(f"  sweep: {pallas_parity_sweep(min(900.0, sweep_budget))}")
-        elif remote:
-            log("pallas parity sweep: skipped (degraded link or budget)")
+        _device_phase(_ARTIFACT, ref, files, total_samples, geoms, ref_t,
+                      deadline)
     except Exception as exc:
-        # the artifact is already out — a diagnostics failure must not
-        # reach main()'s crash handler, which would print a SECOND JSON
-        # line (the one-line stdout contract is the driver interface)
-        try:
-            log(f"post-artifact diagnostics failed ({type(exc).__name__})")
-        except Exception:
-            pass
+        log(f"device phase abandoned ({type(exc).__name__}: {exc}); "
+            "host artifact stands")
+    _ARTIFACT["bench_wall_s"] = round(time.time() - t_start, 1)
+    emit_artifact()
     return 0
 
 

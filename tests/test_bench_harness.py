@@ -74,3 +74,46 @@ def test_healthy_probe_short_circuits(bench, monkeypatch):
                         lambda: (0.05, bench.HEALTHY_MBPS + 5))
     rtt, mbps = bench.wait_for_relay(300.0)
     assert mbps >= bench.HEALTHY_MBPS
+
+
+def test_emit_artifact_is_idempotent(bench, capsys, monkeypatch):
+    monkeypatch.setattr(bench, "_ARTIFACT", None)
+    monkeypatch.setattr(bench, "_EMITTED", False)
+    bench.emit_artifact()  # nothing set yet: no output
+    assert capsys.readouterr().out == ""
+    bench.set_artifact({"metric": "m", "value": 1})
+    bench.emit_artifact()
+    bench.emit_artifact()  # second call must not print a second line
+    out = capsys.readouterr().out
+    assert out.count("\n") == 1 and '"value": 1' in out
+
+
+def test_sigterm_flushes_artifact(tmp_path):
+    """An external killer (the round-3 loss mode: driver timeout →
+    SIGTERM, rc=124, no number) must flush the secured artifact: exactly
+    one JSON line on stdout, exit 0."""
+    import json
+    import os
+    import signal
+    import subprocess
+
+    script = tmp_path / "guarded.py"
+    script.write_text(
+        "import importlib.util, sys, time\n"
+        f"spec = importlib.util.spec_from_file_location('b', {str(_BENCH)!r})\n"
+        "b = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(b)\n"
+        "b._install_artifact_guard()\n"
+        "b.set_artifact({'metric': 'm', 'value': 7})\n"
+        "print('READY', file=sys.stderr, flush=True)\n"
+        "time.sleep(120)\n"  # simulates a stalled phase-2
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True)
+    assert proc.stderr.readline().strip() == "READY"
+    os.kill(proc.pid, signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1 and json.loads(lines[0])["value"] == 7

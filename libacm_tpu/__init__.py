@@ -34,6 +34,9 @@ from .format import (
     AcmException,
     AcmHeader,
     acm_strerror,
+    is_acm,
+    sniff,
+    sniff_bytes,
 )
 from .stream import (
     AcmStream,
@@ -70,6 +73,9 @@ __all__ = [
     "AcmStream",
     "DecodeState",
     "acm_strerror",
+    "is_acm",
+    "sniff",
+    "sniff_bytes",
     "acm_open_decoder",
     "acm_open_file",
     "acm_read",

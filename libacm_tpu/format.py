@@ -161,6 +161,36 @@ def cli_total_bytes(total_values: int, channels: int, *,
     return tb
 
 
+def sniff_bytes(data: bytes) -> tuple[bool, bool]:
+    """Content sniff of the leading bytes: `(is_plain_acm, is_wavc)`.
+
+    The typefind analog — the reference's players register both forms by
+    magic (gstreamer matches the 3-byte magic 97 28 03,
+    plugin-gstreamer.c:159-170; xmms2 registers the full LE dword
+    0x01032897 = magic+version AND the 'WAVC' wrapper,
+    plugin-xmms2.c:239-247). Plain ACM: magic 0x032897 with, when
+    present, version byte 1 (decode.c:727-733 rejects other versions).
+    WAVC: 'WAVC' then 'V1.0' — the only wrapper words the decoder
+    actually checks (decode.c:718-728).
+    """
+    acm = (len(data) >= 3 and data[:3] == b"\x97\x28\x03"
+           and (len(data) < 4 or data[3] == 1))
+    wavc = len(data) >= 8 and data[:8] == b"WAVCV1.0"
+    return acm, wavc
+
+
+def is_acm(data: bytes) -> bool:
+    """True when `data` begins a decodable stream (plain ACM or WAVC)."""
+    acm, wavc = sniff_bytes(data)
+    return acm or wavc
+
+
+def sniff(path) -> tuple[bool, bool]:
+    """`(is_plain_acm, is_wavc)` from the first bytes of the file at `path`."""
+    with open(path, "rb") as fh:
+        return sniff_bytes(fh.read(8))
+
+
 def resolve_channels(header_channels: int, wavc_file: bool, force_chans: int) -> int:
     """force_chans resolution, identical to decode.c:786-799.
 

@@ -18,7 +18,30 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from . import io as acmio
+from .format import sniff
 from .parallel.corpus import CorpusConfig, FileResult, decode_corpus
+
+
+def walk_acm(root: str | os.PathLike) -> list[pathlib.Path]:
+    """All ACM/WAVC files under `root`, found by CONTENT, not extension.
+
+    The typefind analog for directory ingest (the reference's players
+    register magic-based detection, plugin-gstreamer.c:159-170,
+    plugin-xmms2.c:239-247): game archives commonly ship ACM payloads
+    under arbitrary extensions. Unreadable entries are skipped. Results
+    are sorted for a deterministic manifest.
+    """
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            p = pathlib.Path(dirpath) / fn
+            try:
+                acm, wavc = sniff(p)
+            except OSError:
+                continue
+            if acm or wavc:
+                out.append(p)
+    return sorted(out)
 
 
 def iter_pcm(

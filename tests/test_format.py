@@ -1,11 +1,18 @@
 """format.py unit tests."""
 
+import pathlib
+
 from libacm_tpu.format import (
     AcmError,
     AcmHeader,
     acm_strerror,
+    is_acm,
     resolve_channels,
+    sniff,
+    sniff_bytes,
 )
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
 def test_strerror_table():
@@ -49,3 +56,42 @@ def test_error_enum_values():
     assert int(AcmError.ERR_CORRUPT) == -6
     assert int(AcmError.ERR_UNEXPECTED_EOF) == -7
     assert int(AcmError.ERR_NOT_SEEKABLE) == -8
+
+
+def test_sniff_bytes_typefind():
+    """Content sniffing, the typefind analog (plugin-gstreamer.c:159-170,
+    plugin-xmms2.c:239-247)."""
+    assert sniff_bytes(b"\x97\x28\x03\x01rest") == (True, False)
+    assert sniff_bytes(b"\x97\x28\x03") == (True, False)  # 3-byte match
+    assert sniff_bytes(b"\x97\x28\x03\x02") == (False, False)  # bad version
+    assert sniff_bytes(b"WAVCV1.0" + b"\x97\x28\x03\x01") == (False, True)
+    assert sniff_bytes(b"WAVCV2.0") == (False, False)
+    assert sniff_bytes(b"WAVC") == (False, False)  # too short to be WAVC
+    assert sniff_bytes(b"") == (False, False)
+    assert sniff_bytes(b"RIFF....WAVE") == (False, False)
+    assert is_acm(b"\x97\x28\x03\x01")
+    assert is_acm(b"WAVCV1.0")
+    assert not is_acm(b"\x00\x00\x00")
+
+
+def test_sniff_fixture_files():
+    acm, wavc = sniff(FIXTURES / "speech_22k_mono.acm")
+    assert (acm, wavc) == (True, False)
+    acm, wavc = sniff(FIXTURES / "wavc_22k.acm")
+    assert (acm, wavc) == (False, True)
+
+
+def test_walk_acm_by_content(tmp_path):
+    """walk_acm finds payloads by magic regardless of extension."""
+    from libacm_tpu.ingest import walk_acm
+
+    (tmp_path / "sub").mkdir()
+    plain = (FIXTURES / "speech_22k_mono.acm").read_bytes()
+    wavc = (FIXTURES / "wavc_22k.acm").read_bytes()
+    (tmp_path / "a.acm").write_bytes(plain)
+    (tmp_path / "sub" / "b.dat").write_bytes(plain)     # wrong extension
+    (tmp_path / "sub" / "c.acm").write_bytes(b"not audio")  # wrong content
+    (tmp_path / "d.wavc").write_bytes(wavc)
+    (tmp_path / "empty").write_bytes(b"")
+    got = [p.name for p in walk_acm(tmp_path)]
+    assert got == ["a.acm", "d.wavc", "b.dat"]

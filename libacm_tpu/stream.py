@@ -252,6 +252,18 @@ class AcmStream:
     contract cannot be met, and pretending otherwise would hide an
     O(file)-RSS surprise from streaming consumers). `has_errors()` is
     unavailable in windowed mode.
+
+    Thread-safety contract — one stream, one thread, like the reference:
+    nothing in `ACMStream` is locked and its consumers serialize instead
+    (gstreamer runs seeks in the task thread under the object lock,
+    plugin-gstreamer.c:505-508,621-651; winamp posts `seek_to` to its
+    decode thread, plugin-winamp.c:186-213). The same holds here: all
+    reads/seeks on one AcmStream must be serialized by the caller — the
+    idiomatic pattern is a seek-request handshake where a control thread
+    posts the target and the decode thread performs the seek (exercised
+    in tests/test_concurrency.py). Distinct streams are fully
+    independent, including the native scanner (per-thread scratch), and
+    `RandomAccessCorpus` is internally locked for many-reader serving.
     """
 
     def __init__(self, src: acmio.AcmIO, force_chans: int = 0,

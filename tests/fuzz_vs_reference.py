@@ -318,6 +318,28 @@ def one_round(rng: np.random.Generator) -> str:
 _POOL: list[bytes] = []
 
 
+def _maybe_wavc(rng: np.random.Generator, data: bytes) -> bytes:
+    """WAVC-wrapper mutation axis for the mesh rounds: sometimes wrap a
+    pooled member — valid, byte-corrupted inside the 28-byte wrapper, or
+    truncated in/near the wrapper — so the sharded path sees hostile
+    headers too (VERDICT r3 item 8). The host path is the comparator, so
+    whatever the wrapper's validity, both paths must agree."""
+    r = rng.random()
+    if r < 0.6:
+        return data
+    from libacm_tpu.testing import wavc_wrap
+
+    wrapped = bytearray(wavc_wrap(data))
+    r2 = rng.random()
+    if r2 < 0.5:
+        return bytes(wrapped)  # valid wrapper
+    if r2 < 0.8:  # corrupt one wrapper byte (magic/'V1.0'/word6/sizes)
+        wrapped[int(rng.integers(0, 28))] ^= 1 << int(rng.integers(0, 8))
+        return bytes(wrapped)
+    # truncate within the wrapper or the inner ACM header
+    return bytes(wrapped[: int(rng.integers(1, min(60, len(wrapped))))])
+
+
 def sharded_round(rng: np.random.Generator) -> None:
     """Decode a random corpus (incl. hostile members) on an 8-virtual-
     device mesh through the packed shard_map path and byte-compare every
@@ -328,7 +350,7 @@ def sharded_round(rng: np.random.Generator) -> None:
     from libacm_tpu.parallel import decode_corpus_device, make_mesh
 
     n = int(rng.integers(3, 14))  # usually not a multiple of 8
-    corpus = [bytes(_POOL[int(rng.integers(0, len(_POOL)))])
+    corpus = [_maybe_wavc(rng, bytes(_POOL[int(rng.integers(0, len(_POOL)))]))
               for _ in range(n)]
     try:
         _sharded_check(rng, corpus)
@@ -503,11 +525,13 @@ def main():
             kind = one_round(rng)
             kinds[kind] = kinds.get(kind, 0) + 1
             n += 1
-            if _POOL and n % 25 == 0:
+            # mesh axes at ~18% of rounds combined (VERDICT r3 item 8:
+            # 8+4 of 201 was too thin for the multichip surface)
+            if _POOL and n % 8 == 0:
                 sharded_round(rng)
                 kinds["sharded"] = kinds.get("sharded", 0) + 1
                 n += 1
-            if _POOL and n % 40 == 0:
+            if _POOL and n % 12 == 0:
                 stream_device_round(rng)
                 kinds["stream_device"] = kinds.get("stream_device", 0) + 1
                 n += 1

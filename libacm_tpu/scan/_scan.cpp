@@ -34,6 +34,10 @@
 #include <cstring>
 #include <algorithm>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int16_t ERR_CORRUPT = -6;
@@ -1094,14 +1098,22 @@ struct DenseEmitter {
 // unrolls and SLP-vectorizes (the per-row formulation left the hot late
 // passes — L in {1,2,4,8} with thousands of rows — as scalar loop
 // overhead). n is always a multiple of 2L (n = rows<<(p+1) * L).
-template <int L>
-inline void pass_body_fixed(const uint32_t* __restrict x,
+// Uniform sign formulation of one pass — the same recurrence holds for
+// even and odd sub-rows with only the sign of the (x[i] + x[i-2L]) term
+// flipping:  y[i] = 2*x[i-L] + s(i)*(x[i] + x[i-2L]),  s(i) = +1 when
+// (i/L) is even, −1 when odd. One flat loop, no per-parity sub-loops:
+// the compiler vectorizes it with the sign mask computed from the lane
+// index (period 2L, a compile-time constant vector when 2L divides the
+// vector width — exactly the small-L late passes that were running as
+// scalar 2L-element bodies before).
+template <int LOG2L>
+inline void pass_body_small(const uint32_t* __restrict x,
                             uint32_t* __restrict y, int64_t n) {
-  for (int64_t i = 0; i < n; i += 2 * L) {
-    for (int j = 0; j < L; j++)
-      y[i + j] = x[i + j] + x[i + j - 2 * L] + 2u * x[i + j - L];
-    for (int j = 0; j < L; j++)
-      y[i + L + j] = 2u * x[i + j] - x[i + L + j] - x[i + j - L];
+  constexpr int64_t L = int64_t{1} << LOG2L;
+  for (int64_t i = 0; i < n; i++) {
+    const uint32_t m = -static_cast<uint32_t>((i >> LOG2L) & 1);  // 0 / ~0
+    const uint32_t t = x[i] + x[i - 2 * L];
+    y[i] = 2u * x[i - L] + ((t ^ m) - m);
   }
 }
 
@@ -1125,10 +1137,11 @@ inline uint32_t* synth_block_host(uint32_t* x, uint32_t* y, uint32_t* wrap,
     std::memcpy(x - 2 * L, wrap, 2 * L * sizeof(uint32_t));  // history
     std::memcpy(wrap, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
     switch (L) {
-      case 1: pass_body_fixed<1>(x, y, n); break;
-      case 2: pass_body_fixed<2>(x, y, n); break;
-      case 4: pass_body_fixed<4>(x, y, n); break;
-      case 8: pass_body_fixed<8>(x, y, n); break;
+      case 1: pass_body_small<0>(x, y, n); break;
+      case 2: pass_body_small<1>(x, y, n); break;
+      case 4: pass_body_small<2>(x, y, n); break;
+      case 8: pass_body_small<3>(x, y, n); break;
+      case 16: pass_body_small<4>(x, y, n); break;
       default: pass_body_generic(x, y, n, L); break;
     }
     if (p == 0)  // rounding bias: +1 at element 0 of every pass-0 row
@@ -1142,6 +1155,118 @@ inline uint32_t* synth_block_host(uint32_t* x, uint32_t* y, uint32_t* wrap,
 inline uint32_t dq(const int16_t* k, int64_t i, uint32_t val) {
   return static_cast<uint32_t>(static_cast<int32_t>(k[i])) * val;
 }
+
+#if defined(__AVX512F__)
+// ---- AVX-512 pass bodies -------------------------------------------------
+// The small-period passes (L <= 8) read x at byte offsets -4L and -8L:
+// autovectorized they become misaligned 64-byte loads, most of which
+// split cache lines. These bodies do ONE aligned load per 16 elements
+// and synthesize the shifted vectors in-register (valignd against the
+// previous chunk). Callers gate on 64-byte-aligned x/y and level >= 4
+// (then 16 | n and the cols-word history headroom covers the x[-16..-1]
+// prologue load, of which only the top 2L lanes — the memcpy'd carry —
+// are ever selected). Bit-identical to the scalar bodies by
+// construction; enforced by the oracle/live-diff suites and the fuzzer.
+
+template <int LOG2L>
+inline void pass_avx_small(const uint32_t* x, uint32_t* y, int64_t n) {
+  constexpr int L = 1 << LOG2L;
+  alignas(64) uint32_t mb[16];
+  for (int j = 0; j < 16; j++) mb[j] = ((j >> LOG2L) & 1) ? ~0u : 0u;
+  const __m512i M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
+  __m512i prev = _mm512_loadu_si512(reinterpret_cast<const void*>(x - 16));
+  for (int64_t i = 0; i < n; i += 16) {
+    const __m512i cur =
+        _mm512_load_si512(reinterpret_cast<const void*>(x + i));
+    const __m512i xm1 = _mm512_alignr_epi32(cur, prev, 16 - L);
+    const __m512i xm2 = _mm512_alignr_epi32(cur, prev, 16 - 2 * L);
+    const __m512i t = _mm512_add_epi32(cur, xm2);
+    const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
+    _mm512_store_si512(reinterpret_cast<void*>(y + i),
+                       _mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts));
+    prev = cur;
+  }
+}
+
+// Fused dequant pass 0 for L == 8 (level 4): the shifted vectors are
+// formed in the PRODUCT domain (dq is linear), so k is loaded and
+// widened once per chunk. Rounding bias (+1 at every lane = 0 mod L)
+// rides as a constant vector.
+inline void pass0_avx_l8(const int16_t* k, uint32_t val,
+                         const uint32_t* hist, uint32_t* y, int64_t n) {
+  constexpr int LOG2L = 3, L = 8;
+  alignas(64) uint32_t mb[16], bb[16];
+  for (int j = 0; j < 16; j++) {
+    mb[j] = ((j >> LOG2L) & 1) ? ~0u : 0u;
+    bb[j] = (j & (L - 1)) == 0 ? 1u : 0u;
+  }
+  const __m512i M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
+  const __m512i B = _mm512_load_si512(reinterpret_cast<const void*>(bb));
+  const __m512i V = _mm512_set1_epi32(static_cast<int32_t>(val));
+  auto xk = [&](int64_t i) { return dq(k, i, val); };
+  auto x0 = [&](int64_t i) { return i < 0 ? hist[2 * L + i] : xk(i); };
+  for (int64_t i = 0; i < 16; i++) {  // scalar prologue consumes `hist`
+    const uint32_t m = -static_cast<uint32_t>((i >> LOG2L) & 1);
+    const uint32_t t = x0(i) + x0(i - 2 * L);
+    y[i] = 2u * x0(i - L) + ((t ^ m) - m) +
+           static_cast<uint32_t>((i & (L - 1)) == 0);
+  }
+  __m512i prev = _mm512_mullo_epi32(
+      _mm512_cvtepi16_epi32(
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(k))),
+      V);
+  for (int64_t i = 16; i < n; i += 16) {
+    const __m512i kw = _mm512_cvtepi16_epi32(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(k + i)));
+    const __m512i cur = _mm512_mullo_epi32(kw, V);
+    const __m512i xm1 = _mm512_alignr_epi32(cur, prev, 16 - L);
+    const __m512i xm2 = _mm512_alignr_epi32(cur, prev, 16 - 2 * L);
+    const __m512i t = _mm512_add_epi32(cur, xm2);
+    const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
+    _mm512_store_si512(
+        reinterpret_cast<void*>(y + i),
+        _mm512_add_epi32(_mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts),
+                         B));
+    prev = cur;
+  }
+}
+
+// Final pass (L == 1) with >>level + int16 narrowing fused: the whole
+// chunk is computed in int32, arithmetically shifted (vpsrad with a
+// runtime count), and truncated to int16 (vpmovdw) — one 32-byte store
+// of PCM per 16 samples.
+inline void pass_pack_avx(const uint32_t* x, int16_t* dst, int64_t n,
+                          int level, uint32_t h0, uint32_t h1) {
+  alignas(64) uint32_t mb[16];
+  for (int j = 0; j < 16; j++) mb[j] = (j & 1) ? ~0u : 0u;
+  const __m512i M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
+  const __m128i SH = _mm_cvtsi32_si128(level);
+  dst[0] = static_cast<int16_t>(
+      static_cast<int32_t>(x[0] + h0 + 2u * h1) >> level);
+  dst[1] = static_cast<int16_t>(
+      static_cast<int32_t>(2u * x[0] - x[1] - h1) >> level);
+  for (int64_t i = 2; i < 16; i++) {  // finish chunk 0 scalar
+    const uint32_t m = -static_cast<uint32_t>(i & 1);
+    const uint32_t t = x[i] + x[i - 2];
+    dst[i] = static_cast<int16_t>(
+        static_cast<int32_t>(2u * x[i - 1] + ((t ^ m) - m)) >> level);
+  }
+  __m512i prev = _mm512_load_si512(reinterpret_cast<const void*>(x));
+  for (int64_t i = 16; i < n; i += 16) {
+    const __m512i cur =
+        _mm512_load_si512(reinterpret_cast<const void*>(x + i));
+    const __m512i xm1 = _mm512_alignr_epi32(cur, prev, 15);
+    const __m512i xm2 = _mm512_alignr_epi32(cur, prev, 14);
+    const __m512i t = _mm512_add_epi32(cur, xm2);
+    const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
+    const __m512i r = _mm512_sra_epi32(
+        _mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts), SH);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + i),
+                        _mm512_cvtepi32_epi16(r));
+    prev = cur;
+  }
+}
+#endif  // __AVX512F__
 
 // Pass 0 with dequantization fused in: reads k (int16) directly, so the
 // k*val staging sweep never materializes (each k is read three times —
@@ -1162,6 +1287,31 @@ inline void pass0_dequant(const int16_t* __restrict k, uint32_t val,
       y[i + j] = xk(i + j) + xk(i + j - 2 * L) + 2u * xk(i + j - L);
     for (int j = 0; j < L; j++)
       y[i + L + j] = 2u * xk(i + j) - xk(i + L + j) - xk(i + j - L);
+  }
+}
+
+// pass0_dequant in the uniform sign formulation for small L (see
+// pass_body_small), with the +1 pass-0 rounding bias fused in (one
+// lane-periodic add instead of a separate strided sweep): the small-cols
+// geometries (levels 2-5) run pass 0 as one flat vector loop.
+template <int LOG2L>
+inline void pass0_dequant_small(const int16_t* __restrict k, uint32_t val,
+                                const uint32_t* __restrict hist,
+                                uint32_t* __restrict y, int64_t n) {
+  constexpr int64_t L = int64_t{1} << LOG2L;
+  auto xk = [&](int64_t i) { return dq(k, i, val); };
+  auto x0 = [&](int64_t i) { return i < 0 ? hist[2 * L + i] : xk(i); };
+  for (int64_t i = 0; i < 2 * L; i++) {  // history-consuming prologue
+    const uint32_t m = -static_cast<uint32_t>((i >> LOG2L) & 1);
+    const uint32_t t = x0(i) + x0(i - 2 * L);
+    y[i] = 2u * x0(i - L) + ((t ^ m) - m) +
+           static_cast<uint32_t>((i & (L - 1)) == 0);
+  }
+  for (int64_t i = 2 * L; i < n; i++) {
+    const uint32_t m = -static_cast<uint32_t>((i >> LOG2L) & 1);
+    const uint32_t t = xk(i) + xk(i - 2 * L);
+    y[i] = 2u * xk(i - L) + ((t ^ m) - m) +
+           static_cast<uint32_t>((i & (L - 1)) == 0);
   }
 }
 
@@ -1190,8 +1340,32 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
   int L = cols >> 1;
   uint32_t* x = xbuf;
   uint32_t* y = ybuf;
-  pass0_dequant(k, val, wrap, y, n, L);
-  for (int64_t i = 0; i < n; i += L) y[i] += 1u;  // pass-0 rounding bias
+#if defined(__AVX512F__)
+  // in-register shifted windows need 64-byte-aligned scratch and 16 | n
+  // (guaranteed by cols >= 16); misaligned callers take the scalar path
+  const bool avx_ok =
+      level >= 4 && ((reinterpret_cast<uintptr_t>(xbuf) |
+                      reinterpret_cast<uintptr_t>(ybuf)) & 63) == 0;
+#else
+  constexpr bool avx_ok = false;
+#endif
+  switch (L) {
+    case 2: pass0_dequant_small<1>(k, val, wrap, y, n); break;
+    case 4: pass0_dequant_small<2>(k, val, wrap, y, n); break;
+    case 8:
+#if defined(__AVX512F__)
+      if (avx_ok) {
+        pass0_avx_l8(k, val, wrap, y, n);
+        break;
+      }
+#endif
+      pass0_dequant_small<3>(k, val, wrap, y, n);
+      break;
+    case 16: pass0_dequant_small<4>(k, val, wrap, y, n); break;
+    default:
+      pass0_dequant(k, val, wrap, y, n, L);
+      for (int64_t i = 0; i < n; i += L) y[i] += 1u;  // pass-0 bias
+  }
   for (int j = 0; j < 2 * L; j++) wrap[j] = dq(k, n - 2 * L + j, val);
   uint32_t* w = wrap + 2 * L;
   std::swap(x, y);
@@ -1199,11 +1373,24 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
     L = cols >> (p + 1);
     std::memcpy(x - 2 * L, w, 2 * L * sizeof(uint32_t));  // history
     std::memcpy(w, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
+#if defined(__AVX512F__)
+    if (avx_ok && L <= 8) {
+      switch (L) {
+        case 2: pass_avx_small<1>(x, y, n); break;
+        case 4: pass_avx_small<2>(x, y, n); break;
+        default: pass_avx_small<3>(x, y, n); break;
+      }
+      w += 2 * L;
+      std::swap(x, y);
+      continue;
+    }
+#endif
     switch (L) {
-      case 1: pass_body_fixed<1>(x, y, n); break;
-      case 2: pass_body_fixed<2>(x, y, n); break;
-      case 4: pass_body_fixed<4>(x, y, n); break;
-      case 8: pass_body_fixed<8>(x, y, n); break;
+      case 1: pass_body_small<0>(x, y, n); break;
+      case 2: pass_body_small<1>(x, y, n); break;
+      case 4: pass_body_small<2>(x, y, n); break;
+      case 8: pass_body_small<3>(x, y, n); break;
+      case 16: pass_body_small<4>(x, y, n); break;
       default: pass_body_generic(x, y, n, L); break;
     }
     w += 2 * L;
@@ -1214,15 +1401,21 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
   const uint32_t h0 = w[0], h1 = w[1];
   w[0] = x[n - 2];
   w[1] = x[n - 1];
+#if defined(__AVX512F__)
+  if (avx_ok) {
+    pass_pack_avx(x, dst, n, level, h0, h1);
+    return;
+  }
+#endif
   dst[0] = static_cast<int16_t>(
       static_cast<int32_t>(x[0] + h0 + 2u * h1) >> level);
   dst[1] = static_cast<int16_t>(
       static_cast<int32_t>(2u * x[0] - x[1] - h1) >> level);
-  for (int64_t i = 2; i < n; i += 2) {
+  for (int64_t i = 2; i < n; i++) {  // uniform sign form (L == 1)
+    const uint32_t m = -static_cast<uint32_t>(i & 1);
+    const uint32_t t = x[i] + x[i - 2];
     dst[i] = static_cast<int16_t>(
-        static_cast<int32_t>(x[i] + x[i - 2] + 2u * x[i - 1]) >> level);
-    dst[i + 1] = static_cast<int16_t>(
-        static_cast<int32_t>(2u * x[i] - x[i + 1] - x[i - 1]) >> level);
+        static_cast<int32_t>(2u * x[i - 1] + ((t ^ m) - m)) >> level);
   }
 }
 

@@ -684,6 +684,16 @@ class HostDecode:
     term_att: tuple[int, int] | None = None
 
 
+def _aligned_zeros(n: int, dtype, align: int = 64) -> np.ndarray:
+    """Zeroed array whose data pointer is `align`-byte aligned (the native
+    synth engages its AVX-512 pass bodies only on 64-byte-aligned
+    scratch; numpy's allocator guarantees 16)."""
+    item = np.dtype(dtype).itemsize
+    raw = np.zeros(n + align // item, dtype=dtype)
+    off = (-raw.ctypes.data % align) // item
+    return raw[off : off + n]
+
+
 class HostDecodeScratch:
     """Reusable per-(level, rows) scratch for decode_host/synth_dense."""
 
@@ -691,10 +701,13 @@ class HostDecodeScratch:
         n = rows << level
         self.key = (level, rows)
         self.col = np.zeros(max(rows, 1), dtype=np.int16)
-        self.kbuf = np.zeros(n, dtype=np.int16)
-        # + cols headroom: per-pass history prepended by synth_block_host
-        self.xbuf = np.zeros(n + (1 << level), dtype=np.uint32)
-        self.ybuf = np.zeros(n + (1 << level), dtype=np.uint32)
+        self.kbuf = _aligned_zeros(n, np.int16)
+        # + cols headroom: per-pass history prepended by synth_block_host;
+        # the DATA area (base + cols words) is 64B-aligned because the
+        # base is and cols*4 % 64 == 0 whenever the AVX gate (level >= 4)
+        # can engage
+        self.xbuf = _aligned_zeros(n + (1 << level), np.uint32)
+        self.ybuf = _aligned_zeros(n + (1 << level), np.uint32)
         self.meta = np.zeros(16, dtype=np.int64)
         # ctypes pointers computed ONCE where the arrays are assigned
         # (a .ctypes.data_as per array per call was ~10% of the host

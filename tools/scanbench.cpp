@@ -126,8 +126,16 @@ int main(int argc, char** argv) {
     } else if (mode == "host") {
       std::vector<int16_t> pcm(max_blocks * bl);
       std::vector<uint32_t> wrap(2 * cols - 2 > 0 ? 2 * cols - 2 : 1);
-      std::vector<int16_t> kbuf(bl);
-      std::vector<uint32_t> xbuf(bl + cols), ybuf(bl + cols);
+      std::vector<int16_t> kbuf(bl + 32);
+      // 64-byte-align the scratch DATA areas (base + cols words) so the
+      // AVX-512 pass bodies engage, matching the Python-side allocator
+      std::vector<uint32_t> xraw(bl + cols + 16), yraw(bl + cols + 16);
+      auto align64 = [cols](std::vector<uint32_t>& v) {
+        uintptr_t a = reinterpret_cast<uintptr_t>(v.data() + cols);
+        return v.data() + ((64 - (a & 63)) & 63) / 4;
+      };
+      uint32_t* xbufp = align64(xraw);
+      uint32_t* ybufp = align64(yraw);
       std::vector<uint32_t> tbl_val(17);
       std::vector<int64_t> tbl_cov(17);
       std::vector<uint8_t> ev_pwr(max_events);
@@ -140,7 +148,7 @@ int main(int argc, char** argv) {
         acm_decode_host(data.data(), data.size(), h.skip_bits, h.level,
                         h.rows, max_blocks, max_events, pcm.data(),
                         wrap.data(), events.data(), tell.data(),
-                        col_tmp.data(), kbuf.data(), xbuf.data(), ybuf.data(),
+                        col_tmp.data(), kbuf.data(), xbufp, ybufp,
                         meta.data(), 1, tbl_val.data(), tbl_cov.data(),
                         ev_pwr.data(), ev_val.data());
         double dt = now() - t0;

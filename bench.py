@@ -390,15 +390,22 @@ def _device_phase(
         log(f"link at {link_mbps:.1f} MB/s: device rounds skipped")
         return
     log("framework: device warmup (compile)...")
+    # in a degraded window, cap the warmup tighter: a stalled transfer
+    # consuming the whole remaining budget (observed: probe read 36 MB/s,
+    # the very next device_put hung 700+ s) leaves nothing for the
+    # healthy-window retry path
+    warm_cap = 720.0 if healthy else 300.0
+    warmed = True
     try:
-        run_device(timeout_s=min(720.0, max(120.0,
-                                            deadline - time.time() - 240)))
+        run_device(timeout_s=min(warm_cap, max(120.0,
+                                               deadline - time.time() - 240)))
     except Exception as exc:
-        log(f"device path unavailable ({type(exc).__name__}: {exc}); "
-            "host artifact stands")
-        return
+        # don't give up yet: the healthy-window retry below may still get
+        # device rounds if the relay recovers within the budget
+        log(f"device warmup failed ({type(exc).__name__}: {exc})")
+        warmed = False
     dev_t: list[float] = []
-    for i in range(n_dev):
+    for i in range(n_dev if warmed else 0):
         if time.time() > deadline - 90:
             break
         if ref is not None:

@@ -108,27 +108,33 @@ struct BitReader {
   // and first-failure sites are identical to the strict reader.
 
   inline bool ensure(int k) {  // k <= 32
-    while (avail < k) {
-      if (avail > 32) return true;  // defensive: res must fit 64 bits
-      int take = static_cast<int>(
-          std::min<int64_t>(32, total_bits - loaded_bits));
-      if (take <= 0) return false;
-      int64_t start = loaded_bits >> 3;
-      uint32_t word = 0;
-      if (take == 32 && start + 4 <= len) {
-        std::memcpy(&word, data + start, 4);
-      } else {
-        for (int i = 0; i < take / 8; i++) {
-          int64_t pos = start + i;
-          uint32_t byte = pos < len ? data[pos] : 0;
-          word |= byte << (8 * i);
-        }
+    if (avail >= k) return true;
+    // One refill to up to 64 reservoir bits, whole bytes (one unaligned
+    // 8-byte load in the interior; the byte loop covers the stream tail
+    // + phantom byte). Values, consumed-bit positions, and failure sites
+    // are unchanged vs 32-bit refills (a field fails iff it extends past
+    // total_bits); only loaded_bits PACING differs, which no fast-path
+    // consumer observes (the strict reader never calls ensure).
+    const int take = static_cast<int>(std::min<int64_t>(
+        (64 - avail) & ~7, total_bits - loaded_bits));
+    if (take <= 0) return false;
+    const int64_t start = loaded_bits >> 3;
+    uint64_t word;
+    if (start + 8 <= len) {
+      std::memcpy(&word, data + start, 8);  // little-endian host assumed
+    } else {
+      word = 0;
+      for (int i = 0; i < (take + 7) / 8; i++) {
+        int64_t pos = start + i;
+        uint64_t byte = pos < len ? data[pos] : 0;
+        word |= byte << (8 * i);
       }
-      res |= static_cast<uint64_t>(word) << avail;
-      loaded_bits += take;
-      avail += take;
     }
-    return true;
+    if (take < 64) word &= (uint64_t{1} << take) - 1;
+    res |= word << avail;
+    loaded_bits += take;
+    avail += take;
+    return avail >= k;
   }
 
   inline uint32_t getu(int n) {  // unchecked: caller guaranteed avail >= n

@@ -149,3 +149,51 @@ def test_corpus_config_force_chans_consistent_across_backends():
     assert r_dev.info.channels == 2
     assert np.array_equal(r_host.pcm, r_dev.pcm)
     assert r_host.filler_words == r_dev.filler_words
+
+
+@pytest.mark.skipif(not native.available(), reason="native scanner required")
+def test_synth_dense_avx_vs_scalar_scratch_paths():
+    """The native synth picks AVX-512 bodies only on 64-byte-aligned
+    scratch; deliberately MISALIGNED scratch must take the scalar bodies
+    and produce identical PCM and carry (pins the two implementations
+    against each other directly, beyond the fixture corpora)."""
+    import ctypes
+
+    from libacm_tpu.scan.native import _load, _ptr
+
+    lib = _load()
+    rng = np.random.default_rng(31)
+    for level, rows, nb in [(4, 16, 5), (5, 9, 4), (7, 16, 3), (8, 4, 3),
+                            (10, 4, 2), (6, 33, 3)]:
+        cols = 1 << level
+        n = rows * cols
+        k = rng.integers(-2000, 2000, (nb, rows, cols)).astype(np.int16)
+        vals = rng.integers(1, 30000, nb).astype(np.uint16)
+        wrap0 = rng.integers(0, 1 << 32, max(2 * cols - 2, 1),
+                             dtype=np.uint64).astype(np.uint32)
+
+        def run(mis: int):
+            wrap = wrap0.copy()
+            raw_x = np.zeros(n + cols + 64, dtype=np.uint32)
+            raw_y = np.zeros(n + cols + 64, dtype=np.uint32)
+
+            def buf(raw):
+                # place the DATA area (base + cols words) at 64B + mis
+                off = ((-(raw.ctypes.data + 4 * cols)) % 64) // 4 + mis
+                return raw[off : off + n + cols]
+
+            x, y = buf(raw_x), buf(raw_y)
+            pcm = np.empty((nb, n), dtype=np.int16)
+            lib.acm_synth_dense(
+                _ptr(k, ctypes.c_int16), _ptr(vals, ctypes.c_uint16),
+                nb, level, rows, _ptr(wrap, ctypes.c_uint32),
+                _ptr(x, ctypes.c_uint32), _ptr(y, ctypes.c_uint32),
+                _ptr(pcm, ctypes.c_int16))
+            return pcm, wrap
+
+        aligned = run(0)
+        misaligned = run(1)  # +4 bytes: defeats the 64B gate
+        np.testing.assert_array_equal(aligned[0], misaligned[0],
+                                      err_msg=f"pcm level={level}")
+        np.testing.assert_array_equal(aligned[1], misaligned[1],
+                                      err_msg=f"wrap level={level}")

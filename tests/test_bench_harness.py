@@ -117,3 +117,118 @@ def test_sigterm_flushes_artifact(tmp_path):
     assert proc.returncode == 0
     lines = [ln for ln in out.splitlines() if ln.strip()]
     assert len(lines) == 1 and json.loads(lines[0])["value"] == 7
+
+
+def test_device_phase_upgrades_artifact(bench, monkeypatch, tmp_path):
+    """Drive _device_phase end-to-end with a faked healthy TPU: the
+    secured host artifact must be upgraded in place — device headline,
+    corpus shootout fields, per-geometry table, parity sweep — without
+    a second JSON line. (The real device phase has only ever run against
+    stalled relays; this pins the full upgrade path.)"""
+    import types
+
+    import jax
+
+    import libacm_tpu.parallel as par
+    from libacm_tpu.ops import synth_pallas
+    from libacm_tpu.parallel import corpus as corpus_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bench, "wait_for_relay", lambda budget: (0.01, 500.0))
+    ref_times = iter([1.0] * 50)
+    monkeypatch.setattr(bench, "time_reference_once",
+                        lambda ref, files: next(ref_times))
+    monkeypatch.setattr(bench, "pallas_parity_sweep", lambda t: "PASS")
+
+    class FakeCorpus:
+        def checksum(self):
+            return 1234
+
+    calls = []
+
+    def fake_device(paths, backend="auto"):
+        calls.append(backend)
+        time.sleep(0.01)
+        return FakeCorpus()
+
+    monkeypatch.setattr(par, "decode_corpus_device", fake_device)
+    monkeypatch.setattr(corpus_mod, "measure_backend",
+                        lambda lv, rw: ("pallas", {"jax": 100.0,
+                                                   "pallas": 150.0}))
+    monkeypatch.setattr(synth_pallas, "pallas_supported",
+                        lambda lv, rw: lv == 7)
+
+    total = 100_000_000
+    artifact = {
+        "metric": "corpus_decode_Msamples_per_s", "value": 300.0,
+        "unit": "Msamples/s", "vs_baseline": 3.0, "headline_path": "host",
+        "device_resident_Msamples_per_s": None, "device_vs_baseline": None,
+        "host_path_Msamples_per_s": 300.0, "host_vs_baseline": 3.0,
+        "scan_Msamples_per_s": None,
+        "backend_jax_Msamples_per_s": None,
+        "backend_pallas_Msamples_per_s": None,
+        "pallas_shootout": None, "pallas_parity_sweep": None,
+        "relay_probe_s": None, "link_MBps": None, "bench_wall_s": 0.0,
+    }
+    bench._device_phase(artifact, ref=object(), files=["f"],
+                        total_samples=total, geoms=[(7, 16), (0, 2048)],
+                        ref_t=[1.0], deadline=time.time() + 3600)
+
+    assert artifact["headline_path"] == "device"
+    assert artifact["device_resident_Msamples_per_s"] is not None
+    # device beat the fake 1.0 s reference (100 Ms/s): vs_baseline > 1
+    assert artifact["device_vs_baseline"] > 1
+    assert artifact["value"] == artifact["device_resident_Msamples_per_s"]
+    assert artifact["backend_jax_Msamples_per_s"] is not None
+    assert artifact["backend_pallas_Msamples_per_s"] is not None
+    assert artifact["pallas_shootout"] == {
+        "7/16": {"winner": "pallas", "jax": 100.0, "pallas": 150.0}}
+    assert artifact["pallas_parity_sweep"] == "PASS"
+    assert artifact["link_MBps"] == 500.0
+    assert "auto" in calls and "jax" in calls and "pallas" in calls
+
+
+def test_device_phase_linkbound_keeps_host_headline(bench, monkeypatch):
+    """A degraded link with a slow device must keep the host headline,
+    record the device numbers + telemetry, and skip shootout/sweep."""
+    import jax
+
+    import libacm_tpu.parallel as par
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bench, "wait_for_relay", lambda budget: (0.5, 5.0))
+    monkeypatch.setattr(bench, "time_reference_once",
+                        lambda ref, files: 0.05)
+
+    class FakeCorpus:
+        def checksum(self):
+            return 7
+
+    def slow_device(paths, backend="auto"):
+        time.sleep(0.2)  # slower than the 0.05 s "reference"
+        return FakeCorpus()
+
+    monkeypatch.setattr(par, "decode_corpus_device", slow_device)
+
+    artifact = {
+        "metric": "corpus_decode_Msamples_per_s", "value": 300.0,
+        "unit": "Msamples/s", "vs_baseline": 3.0, "headline_path": "host",
+        "device_resident_Msamples_per_s": None, "device_vs_baseline": None,
+        "host_path_Msamples_per_s": 300.0, "host_vs_baseline": 3.0,
+        "scan_Msamples_per_s": None, "backend_jax_Msamples_per_s": None,
+        "backend_pallas_Msamples_per_s": None, "pallas_shootout": None,
+        "pallas_parity_sweep": None, "relay_probe_s": None,
+        "link_MBps": None, "bench_wall_s": 0.0,
+    }
+    # deadline close enough that the healthy-window retry is skipped
+    bench._device_phase(artifact, ref=object(), files=["f"],
+                        total_samples=1_000_000, geoms=[(7, 16)],
+                        ref_t=[0.05], deadline=time.time() + 300)
+
+    assert artifact["headline_path"] == "host-linkbound"
+    assert artifact["value"] == 300.0
+    assert artifact["device_resident_Msamples_per_s"] is not None
+    assert artifact["device_vs_baseline"] < 1
+    assert artifact["link_MBps"] == 5.0
+    assert artifact["backend_jax_Msamples_per_s"] is None
+    assert artifact["pallas_shootout"] is None

@@ -279,12 +279,32 @@ def set_artifact(d: dict) -> None:
 def emit_artifact() -> None:
     """Print the one-JSON-line artifact exactly once (idempotent): the
     normal end of main, the atexit hook, and the signal guard all call
-    this, and whichever fires first wins."""
+    this, and whichever fires first wins. Guard signals are blocked
+    before the write so an external killer cannot land mid-print and
+    leave a truncated line (the handler would see _EMITTED and no-op)."""
     global _EMITTED
     if _EMITTED or _ARTIFACT is None:
         return
+    guard = {0}
+    try:
+        import signal
+
+        guard = {signal.SIGTERM, signal.SIGINT, signal.SIGHUP}
+        signal.pthread_sigmask(signal.SIG_BLOCK, guard)
+    except (OSError, ValueError, AttributeError):
+        guard = None  # non-main thread / no sigmask: best effort
     _EMITTED = True
     print(json.dumps(_ARTIFACT, allow_nan=False), flush=True)
+    if guard is not None:
+        try:
+            import signal
+
+            # UNBLOCK after the line is out: a blocked mask is inherited
+            # by child processes, and a pending guard signal should now
+            # fire (the handler sees _EMITTED and just exits)
+            signal.pthread_sigmask(signal.SIG_UNBLOCK, guard)
+        except (OSError, ValueError):
+            pass
 
 
 def _install_artifact_guard() -> None:
@@ -298,8 +318,19 @@ def _install_artifact_guard() -> None:
     import signal
 
     def _flush(signum, frame):
-        log(f"signal {signum}: flushing artifact and exiting")
-        emit_artifact()
+        # Async-signal context: bypass buffered stdio entirely (a print
+        # here could re-enter a buffered write and raise; os.write is a
+        # direct syscall). The normal emit path blocks these signals
+        # around its own print, so _EMITTED is a reliable gate.
+        global _EMITTED
+        try:
+            if not _EMITTED and _ARTIFACT is not None:
+                _EMITTED = True
+                os.write(1, (json.dumps(_ARTIFACT, allow_nan=False)
+                             + "\n").encode())
+            os.write(2, f"signal {signum}: artifact guard exit\n".encode())
+        except Exception:
+            pass
         os._exit(0)
 
     for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
@@ -420,14 +451,25 @@ def _device_phase(
             f"device={dev_t[-1]:.3f} s")
         time.sleep(1.5)  # let the relay queue drain between rounds
 
-    # If the device lost against a degraded link, give it ONE bounded
-    # second chance in a healthy window (the pre-round probe may have
-    # read healthy and the link collapsed mid-run, or vice versa).
+    # The headline decision needs a verdict about the window the kept
+    # rounds actually ran in — the PRE-round probe is stale in either
+    # direction (observed: probe healthy, the very next device_put hung
+    # 700+ s; and probes degraded while later rounds ran clean). A
+    # device that BEAT the reference is honest whatever the link; a
+    # device that lost (or never ran) earns a headline only through a
+    # fresh post-round probe + completed retry rounds in that window.
     ref_min = min(ref_t) if ref_t else None
-    dev_lost = not dev_t or (ref_min and min(dev_t) > ref_min)
-    if dev_lost and deadline - time.time() > 420 and not healthy:
-        log("device ran link-bound; waiting for one healthy window...")
-        _, mbps = wait_for_relay(min(240.0, deadline - time.time() - 300))
+    dev_lost = not dev_t or (ref_min is not None
+                             and min(dev_t) > ref_min)
+    window_ok = bool(dev_t) and not dev_lost
+    if dev_lost and deadline - time.time() > 420:
+        _, mbps = safe_probe(
+            timeout_s=min(240.0, deadline - time.time() - 180))
+        if mbps < HEALTHY_MBPS:
+            log("device lost/absent on a degraded link; waiting for one "
+                "healthy window...")
+            _, mbps = wait_for_relay(
+                min(240.0, deadline - time.time() - 300))
         if mbps >= HEALTHY_MBPS:
             retried = 0
             try:
@@ -445,12 +487,14 @@ def _device_phase(
                 log(f"  retry rounds abandoned ({type(exc).__name__})")
             # a completed retry round is the only proof this window ran
             # at decoder speed
-            healthy = retried > 0
-            artifact["link_MBps"] = (round(mbps, 1)
-                                     if mbps != float("inf") else None)
+            window_ok = retried > 0
+        artifact["link_MBps"] = (round(mbps, 1)
+                                 if mbps != float("inf") else None)
+        link_mbps = mbps
 
     if not dev_t:
         return
+    healthy = window_ok
     ref_min = min(ref_t) if ref_t else None
     ref_msps = total_samples / ref_min / 1e6 if ref_min else None
     dev_msps = total_samples / min(dev_t) / 1e6
@@ -460,13 +504,13 @@ def _device_phase(
         f"{dev_msps:.1f} Msamples/s")
 
     # Headline upgrade: the device-resident decode is the headline when
-    # the link let it run at decoder speed — or when it beat the
-    # reference anyway (underselling, but honest). Otherwise the host
-    # path keeps the headline, flagged with link telemetry.
+    # it beat the reference (honest whatever the link) or when its
+    # window is VERIFIED healthy. Otherwise the host path keeps the
+    # headline, flagged with link telemetry.
     host_msps = artifact["host_path_Msamples_per_s"]
     artifact["host_vs_baseline"] = _ratio(host_msps, ref_msps)
-    dev_won = dev_msps is not None and ref_msps and dev_msps >= ref_msps
-    if healthy or dev_won:
+    dev_won = ref_msps and dev_msps >= ref_msps
+    if window_ok or dev_won:
         artifact["value"] = round(dev_msps, 2)
         artifact["headline_path"] = "device"
         artifact["vs_baseline"] = _ratio(dev_msps, ref_msps)
@@ -579,9 +623,55 @@ def main() -> int:
     # even if the relay is dead all window — an external timeout killing
     # this process loses the whole round's number.
     t_start = time.time()
+    _install_artifact_guard()
+    try:
+        return _main(t_start)
+    except Exception as exc:
+        # LAST-RESORT: an exception before the phase-1 artifact was
+        # secured (corpus synthesis, the warmup decode, a phase-1
+        # assertion) must still leave one JSON line — re-time the host
+        # path minimally and emit it flagged.
+        log(f"bench crashed ({type(exc).__name__}: {exc}); "
+            "emitting fallback artifact")
+        if _ARTIFACT is None:
+            value = ref_msps = None
+            try:
+                from libacm_tpu.parallel import decode_corpus
+
+                files = ensure_corpus()
+                best = 1e18
+                total = 0
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    res = decode_corpus([str(f) for f in files])
+                    best = min(best, time.perf_counter() - t0)
+                    total = sum(len(r.pcm) for r in res if r.pcm is not None)
+                value = round(total / best / 1e6, 2)
+                ref = ensure_reference()
+                if ref is not None:
+                    rbest = min(time_reference_once(ref, files)
+                                for _ in range(3))
+                    ref_msps = total / rbest / 1e6
+            except Exception as exc2:
+                log(f"fallback measurement failed too "
+                    f"({type(exc2).__name__}: {exc2})")
+            set_artifact({
+                "metric": "corpus_decode_Msamples_per_s",
+                "value": value,
+                "unit": "Msamples/s",
+                "vs_baseline": (round(value / ref_msps, 3)
+                                if value and ref_msps else None),
+                "headline_path": "host-crashfallback",
+                "host_path_Msamples_per_s": value,
+                "bench_wall_s": round(time.time() - t_start, 1),
+            })
+        emit_artifact()
+        return 0
+
+
+def _main(t_start: float) -> int:
     budget_s = float(os.environ.get("LIBACM_TPU_BENCH_BUDGET_S", "1200"))
     deadline = t_start + budget_s
-    _install_artifact_guard()
     files = ensure_corpus()
     n_files = len(files)
     ref = ensure_reference()

@@ -232,3 +232,26 @@ def test_device_phase_linkbound_keeps_host_headline(bench, monkeypatch):
     assert artifact["link_MBps"] == 5.0
     assert artifact["backend_jax_Msamples_per_s"] is None
     assert artifact["pallas_shootout"] is None
+
+
+def test_main_crash_fallback_emits_one_line(bench, monkeypatch, capsys):
+    """An exception BEFORE the phase-1 artifact is secured must still
+    produce exactly one JSON line (the CLAUDE.md bench contract)."""
+    import json
+
+    monkeypatch.setattr(bench, "_ARTIFACT", None)
+    monkeypatch.setattr(bench, "_EMITTED", False)
+    monkeypatch.setattr(bench, "_install_artifact_guard", lambda: None)
+
+    def boom(*a, **k):
+        raise RuntimeError("corpus dir exploded")
+
+    monkeypatch.setattr(bench, "_main", boom)
+    monkeypatch.setattr(bench, "ensure_corpus", boom)  # fallback fails too
+    rc = bench.main()
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert rc == 0 and len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["headline_path"] == "host-crashfallback"
+    assert d["metric"] == "corpus_decode_Msamples_per_s"

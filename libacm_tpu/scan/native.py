@@ -279,6 +279,20 @@ def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _raw_ptr(a: np.ndarray, ctype):
+    """Pointer to `a`'s data with NO back-reference to the array.
+
+    `ndarray.ctypes.data_as` stores the array on the returned pointer and
+    ctypes objects sit in reference cycles, so the array — and with it
+    the PEP-3118 buffer EXPORT of whatever `a` views — survives until a
+    gc pass. For buffer-protocol inputs the caller RESIZES between calls
+    (the windowed decoders' bytearrays), that delayed release turns
+    `buf += chunk` into BufferError (fuzz seed 6100 round 1524). The
+    caller must keep `a` alive across the native call."""
+    return ctypes.cast(ctypes.c_void_p(a.ctypes.data),
+                       ctypes.POINTER(ctype))
+
+
 def _prep(data: bytes, max_blocks: int | None,
           header: "AcmHeader | None" = None):
     lib = _load()
@@ -469,9 +483,11 @@ def scan_corpus_into(
     if max_blocks is None:
         max_blocks = header.n_blocks
     max_blocks = min(max_blocks, cls_slot.shape[0])
+    # _raw_ptr, not _ptr: `data` is often a view of a bytearray the
+    # caller grows between windows — the export must release at return
     dview = np.frombuffer(data, dtype=np.uint8)
     rc = lib.acm_scan_corpus_into(
-        ctypes.cast(_ptr(dview, ctypes.c_uint8), ctypes.c_char_p),
+        ctypes.cast(_raw_ptr(dview, ctypes.c_uint8), ctypes.c_char_p),
         len(dview), start_bit, header.level, header.rows, max_blocks,
         _ptr(cls_slot, ctypes.c_uint8),
         _ptr(pay4, ctypes.c_uint8), _ptr(pay8, ctypes.c_uint8),
@@ -818,10 +834,12 @@ def _decode_host_raw(
     events, tell, ev_pwr, ev_val = s.event_bufs(max_events)
     # zero-copy uint8 view: accepts bytes, bytearray, or memoryview (the
     # buffer must stay unmutated for the GIL-released call — windowed
-    # streams are single-threaded per stream)
+    # streams are single-threaded per stream). _raw_ptr, not _ptr: the
+    # windowed caller GROWS its bytearray after this returns, so the
+    # buffer export must release at return, not at the next gc.
     dview = np.frombuffer(data, dtype=np.uint8)
     rc = lib.acm_decode_host(
-        _ptr(dview, ctypes.c_uint8), len(dview),
+        _raw_ptr(dview, ctypes.c_uint8), len(dview),
         start_bit, hdr.level, rows, max_blocks, max_events,
         _ptr(pcm, ctypes.c_int16), _ptr(wrap, ctypes.c_uint32),
         s.events_p, s.tell_p,

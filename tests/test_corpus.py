@@ -468,3 +468,40 @@ def test_wire_pool_hold_blocks_reuse_between_scan_and_dispatch(monkeypatch):
     w3 = C._acquire_wire_bufs(2, 4, 3, 8)
     assert w3 is w1 or w3 is w2  # released buffers ARE reused
     C._SCAN_TLS.wire_pool = []
+
+
+def test_windowed_native_calls_release_buffer_exports():
+    """Fuzz seed 6100 round 1524: the native calls' ctypes pointers kept
+    a CYCLIC export of the caller's byte window alive until gc, so
+    growing the window (`buf += chunk`) raised BufferError whenever a
+    collection hadn't happened yet. With gc disabled, both windowed
+    consumers must still be able to grow their buffers — the export has
+    to release at call return, deterministically."""
+    import gc
+
+    from libacm_tpu import acm_open_decoder
+    from libacm_tpu.parallel.corpus import decode_stream_device
+
+    rng = np.random.default_rng(3)
+    # dense coefficients (wide linear fillers): the actual stream (~13
+    # bits/sample, >64 KiB) exceeds the stream scanner's ~4 bits/sample
+    # first-window estimate, forcing the NEED_MORE_DATA grow path that
+    # crashed
+    data = testing.random_acm_bytes(rng, level=6, rows=24, n_blocks=120,
+                                    max_pwr=14)
+    expect = decode_corpus([data])[0]
+    gc.disable()
+    try:
+        pcm, meta = decode_stream_device(data)
+        got = np.asarray(pcm).reshape(-1)
+        assert meta.status == expect.status
+        assert np.array_equal(got[: len(expect.pcm)], expect.pcm)
+
+        # windowed AcmStream grows self.buf after zero-copy native calls
+        s = acm_open_decoder(data, window_blocks=2)
+        out = bytearray()
+        while chunk := s.read_loop(8192):
+            out += chunk
+        assert bytes(out) == expect.pcm.astype("<i2").tobytes()
+    finally:
+        gc.enable()

@@ -17,7 +17,9 @@ from libacm_tpu.parallel import CorpusConfig
 def main(argv):
     in_dir, out_dir = pathlib.Path(argv[0]), argv[1]
     force = 2 if "--force-stereo" in argv else 0
-    paths = sorted(p for p in in_dir.iterdir() if p.suffix.lower() == ".acm")
+    # content sniffing, not extension matching: game archives hide ACM
+    # payloads under arbitrary suffixes (the players' typefind analog)
+    paths = ingest.walk_acm(in_dir)
     t0 = time.perf_counter()
     results = ingest.decode_to_wav_dir(
         paths, out_dir, config=CorpusConfig(force_chans=force))

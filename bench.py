@@ -347,7 +347,8 @@ def _ratio(num: float | None, den: float | None) -> float | None:
 
 def _device_phase(
     artifact: dict, ref: pathlib.Path | None, files: list[pathlib.Path],
-    total_samples: int, geoms: list[tuple[int, int]], ref_t: list[float],
+    total_samples: int, geoms: "dict[tuple[int, int], int]",
+    ref_t: list[float],
     deadline: float,
 ) -> None:
     """Upgrade the secured host artifact with device-resident numbers,
@@ -542,12 +543,16 @@ def _device_phase(
 
     # Per-geometry pallas-vs-XLA shootout (device-resident compute, no
     # wire): the numbers `auto` selection is grounded in, recorded in the
-    # artifact tail so the kernel's wins/losses are on the record.
+    # artifact tail so the kernel's wins/losses are on the record. The
+    # winners' speeds also yield `device_compute_Msamples_per_s` — the
+    # pure on-chip synthesis rate (what the end-to-end number would
+    # approach if the host scan and link cost nothing).
     if healthy and deadline - time.time() > 180:
         from libacm_tpu.ops.synth_pallas import pallas_supported
         from libacm_tpu.parallel.corpus import measure_backend
 
         table: dict[str, dict] = {}
+        best: dict[tuple[int, int], float] = {}
         for level, rows in geoms:
             if deadline - time.time() < 150:
                 break
@@ -565,12 +570,23 @@ def _device_phase(
                     "winner": winner,
                     **{k: round(v, 1) for k, v in speeds.items()},
                 }
+                if speeds.get(winner):
+                    best[(level, rows)] = speeds[winner]
                 log(f"  geometry {level}/{rows}: {table[f'{level}/{rows}']}")
             except Exception as exc:
                 log(f"  geometry {level}/{rows} shootout failed "
                     f"({type(exc).__name__})")
         if table:
             artifact["pallas_shootout"] = table
+        if best:
+            # harmonic (time-weighted) mean over the measured geometries,
+            # weighted by the corpus's sample share per geometry
+            shares = {g: float(geoms.get(g, 1)) for g in best}
+            tsec = sum(shares[g] / best[g] for g in best)
+            artifact["device_compute_Msamples_per_s"] = round(
+                sum(shares.values()) / tsec, 1)
+            log(f"  device compute (winners, corpus geometries): "
+                f"{artifact['device_compute_Msamples_per_s']} Msamples/s")
 
     # On-HW parity sweep (subprocess, bounded): bit-equality pallas vs
     # XLA at every supported level, recorded in the artifact.
@@ -684,8 +700,13 @@ def _main(t_start: float) -> int:
     paths = [str(f) for f in files]
     res = decode_corpus(paths)
     total_samples = sum(len(r.pcm) for r in res if r.pcm is not None)
-    geoms = sorted({(r.info.acm_level, r.info.acm_rows) for r in res
-                    if r.info is not None})
+    # (level, rows) -> decoded samples: the device phase weights its
+    # pure-compute summary by each geometry's corpus share
+    geoms: dict = {}
+    for r in res:
+        if r.info is not None and r.pcm is not None:
+            g = (r.info.acm_level, r.info.acm_rows)
+            geoms[g] = geoms.get(g, 0) + len(r.pcm)
     wire = sum(f.stat().st_size for f in files)
     log(f"corpus: {n_files} files, {len(geoms)} (level,rows) buckets "
         f"(majority level {LEVEL}/rows {ROWS}; minority levels 0/4/10, "
@@ -742,6 +763,7 @@ def _main(t_start: float) -> int:
         "backend_jax_Msamples_per_s": None,
         "backend_pallas_Msamples_per_s": None,
         "pallas_shootout": None,
+        "device_compute_Msamples_per_s": None,
         "pallas_parity_sweep": None,
         "relay_probe_s": None,
         "link_MBps": None,

@@ -171,7 +171,8 @@ def test_device_phase_upgrades_artifact(bench, monkeypatch, tmp_path):
         "relay_probe_s": None, "link_MBps": None, "bench_wall_s": 0.0,
     }
     bench._device_phase(artifact, ref=object(), files=["f"],
-                        total_samples=total, geoms=[(7, 16), (0, 2048)],
+                        total_samples=total,
+                        geoms={(7, 16): 90_000_000, (0, 2048): 10_000_000},
                         ref_t=[1.0], deadline=time.time() + 3600)
 
     assert artifact["headline_path"] == "device"
@@ -184,6 +185,8 @@ def test_device_phase_upgrades_artifact(bench, monkeypatch, tmp_path):
     assert artifact["pallas_shootout"] == {
         "7/16": {"winner": "pallas", "jax": 100.0, "pallas": 150.0}}
     assert artifact["pallas_parity_sweep"] == "PASS"
+    # pure-compute summary: only (7,16) measured -> the winner's speed
+    assert artifact["device_compute_Msamples_per_s"] == 150.0
     assert artifact["link_MBps"] == 500.0
     assert "auto" in calls and "jax" in calls and "pallas" in calls
 
@@ -222,7 +225,7 @@ def test_device_phase_linkbound_keeps_host_headline(bench, monkeypatch):
     }
     # deadline close enough that the healthy-window retry is skipped
     bench._device_phase(artifact, ref=object(), files=["f"],
-                        total_samples=1_000_000, geoms=[(7, 16)],
+                        total_samples=1_000_000, geoms={(7, 16): 1_000_000},
                         ref_t=[0.05], deadline=time.time() + 300)
 
     assert artifact["headline_path"] == "host-linkbound"

@@ -192,16 +192,27 @@ def test_device_phase_upgrades_artifact(bench, monkeypatch, tmp_path):
 
 
 def test_device_phase_linkbound_keeps_host_headline(bench, monkeypatch):
-    """A degraded link with a slow device must keep the host headline,
-    record the device numbers + telemetry, and skip shootout/sweep."""
+    """A degraded link with a slow device must keep the host headline
+    and record the device numbers + telemetry. The wire-heavy corpus
+    backend shootout is skipped, but the pure-compute evidence (the
+    per-geometry shootout + parity sweep sync only scalars/KBs) still
+    lands on the record — a bulk-degraded round must not null them."""
     import jax
 
     import libacm_tpu.parallel as par
+    from libacm_tpu.ops import synth_pallas
+    from libacm_tpu.parallel import corpus as corpus_mod
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(bench, "wait_for_relay", lambda budget: (0.5, 5.0))
     monkeypatch.setattr(bench, "time_reference_once",
                         lambda ref, files: 0.05)
+    monkeypatch.setattr(bench, "pallas_parity_sweep", lambda t: "PASS")
+    monkeypatch.setattr(corpus_mod, "measure_backend",
+                        lambda lv, rw: ("pallas", {"jax": 100.0,
+                                                   "pallas": 150.0}))
+    monkeypatch.setattr(synth_pallas, "pallas_supported",
+                        lambda lv, rw: True)
 
     class FakeCorpus:
         def checksum(self):
@@ -233,8 +244,88 @@ def test_device_phase_linkbound_keeps_host_headline(bench, monkeypatch):
     assert artifact["device_resident_Msamples_per_s"] is not None
     assert artifact["device_vs_baseline"] < 1
     assert artifact["link_MBps"] == 5.0
+    # wire-heavy corpus backend rounds: skipped in this window
     assert artifact["backend_jax_Msamples_per_s"] is None
+    # pure-compute evidence: still recorded
+    assert artifact["pallas_shootout"] == {
+        "7/16": {"winner": "pallas", "jax": 100.0, "pallas": 150.0}}
+    assert artifact["device_compute_Msamples_per_s"] == 150.0
+    assert artifact["pallas_parity_sweep"] == "PASS"
+
+
+def _blank_artifact() -> dict:
+    return {
+        "metric": "corpus_decode_Msamples_per_s", "value": 300.0,
+        "unit": "Msamples/s", "vs_baseline": 3.0, "headline_path": "host",
+        "device_resident_Msamples_per_s": None, "device_vs_baseline": None,
+        "host_path_Msamples_per_s": 300.0, "host_vs_baseline": 3.0,
+        "scan_Msamples_per_s": None, "backend_jax_Msamples_per_s": None,
+        "backend_pallas_Msamples_per_s": None, "pallas_shootout": None,
+        "device_compute_Msamples_per_s": None, "pallas_parity_sweep": None,
+        "relay_probe_s": None, "link_MBps": None, "bench_wall_s": 0.0,
+    }
+
+
+def test_device_rounds_skipped_still_records_compute_evidence(
+        bench, monkeypatch):
+    """Below 1 MB/s the ~28 MiB corpus wire rounds are skipped outright,
+    but the responsive-RTT compute phase must still record the shootout,
+    device_compute summary, and parity sweep (the round-4 relay windows
+    were exactly this shape)."""
+    import jax
+
+    import libacm_tpu.parallel as par
+    from libacm_tpu.ops import synth_pallas
+    from libacm_tpu.parallel import corpus as corpus_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bench, "wait_for_relay", lambda budget: (0.3, 0.5))
+    monkeypatch.setattr(bench, "pallas_parity_sweep", lambda t: "PASS")
+    monkeypatch.setattr(corpus_mod, "measure_backend",
+                        lambda lv, rw: ("pallas", {"jax": 90.0,
+                                                   "pallas": 140.0}))
+    monkeypatch.setattr(synth_pallas, "pallas_supported",
+                        lambda lv, rw: True)
+
+    def never(*a, **k):
+        raise AssertionError("corpus wire round must not run below 1 MB/s")
+
+    monkeypatch.setattr(par, "decode_corpus_device", never)
+
+    artifact = _blank_artifact()
+    bench._device_phase(artifact, ref=object(), files=["f"],
+                        total_samples=1_000_000, geoms={(7, 16): 1_000_000},
+                        ref_t=[0.05], deadline=time.time() + 3600)
+    assert artifact["headline_path"] == "host"  # untouched
+    assert artifact["device_resident_Msamples_per_s"] is None
+    assert artifact["pallas_shootout"] == {
+        "7/16": {"winner": "pallas", "jax": 90.0, "pallas": 140.0}}
+    assert artifact["device_compute_Msamples_per_s"] == 140.0
+    assert artifact["pallas_parity_sweep"] == "PASS"
+
+
+def test_stalled_relay_skips_compute_phase(bench, monkeypatch):
+    """A STALLED relay (probe rtt=inf) must not burn the budget on
+    compute-phase deadlines: the rtt gate skips it and says so."""
+    import jax
+
+    from libacm_tpu.parallel import corpus as corpus_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bench, "wait_for_relay",
+                        lambda budget: (float("inf"), 0.0))
+
+    def never(*a, **k):
+        raise AssertionError("stalled relay must not be measured")
+
+    monkeypatch.setattr(corpus_mod, "measure_backend", never)
+
+    artifact = _blank_artifact()
+    bench._device_phase(artifact, ref=object(), files=["f"],
+                        total_samples=1_000_000, geoms={(7, 16): 1_000_000},
+                        ref_t=[0.05], deadline=time.time() + 3600)
     assert artifact["pallas_shootout"] is None
+    assert artifact["pallas_parity_sweep"] == "skipped (relay unresponsive)"
 
 
 def test_main_crash_fallback_emits_one_line(bench, monkeypatch, capsys):

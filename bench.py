@@ -508,17 +508,26 @@ def _device_phase(
     log(f"framework (device-resident): {min(dev_t):.3f} s = "
         f"{dev_msps:.1f} Msamples/s")
 
-    # Headline upgrade: the device-resident decode is the headline when
-    # it beat the reference (honest whatever the link) or when its
-    # window is VERIFIED healthy. Otherwise the host path keeps the
-    # headline, flagged with link telemetry.
+    # Headline: the FASTER of the two end-to-end product paths carries
+    # it (both always ride in the artifact). The device number is
+    # eligible when it beat the reference (honest whatever the link) or
+    # its window is VERIFIED healthy; it wins the headline only if it
+    # also beat the host path — reporting the slower of two honest
+    # decoders as "the" number would understate the framework.
     host_msps = artifact["host_path_Msamples_per_s"]
     artifact["host_vs_baseline"] = _ratio(host_msps, ref_msps)
     dev_won = ref_msps and dev_msps >= ref_msps
-    if window_ok or dev_won:
+    if (window_ok or dev_won) and (not host_msps or dev_msps >= host_msps):
         artifact["value"] = round(dev_msps, 2)
         artifact["headline_path"] = "device"
         artifact["vs_baseline"] = _ratio(dev_msps, ref_msps)
+    elif window_ok or dev_won:
+        # device rounds are honest but the relay link taxes every ~28 MiB
+        # wire round: the host path stays the headline, device alongside
+        artifact["headline_path"] = "host"
+        artifact["vs_baseline"] = _ratio(host_msps, ref_msps)
+        log(f"host path keeps the headline ({host_msps:.1f} vs device "
+            f"{dev_msps:.1f} Msamples/s this window)")
     else:
         artifact["headline_path"] = "host-linkbound"
         artifact["vs_baseline"] = _ratio(host_msps, ref_msps)
@@ -810,4 +819,12 @@ def _main(t_start: float) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # Skip interpreter/JAX teardown: against a degraded relay the PJRT
+    # client's shutdown (and abandoned _deadline zombie ops) can hang the
+    # process for minutes AFTER the artifact line is out (observed: emit
+    # at t+120 s, process alive at t+280 s). Both main() paths have
+    # already emitted explicitly; flush and leave.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

@@ -266,6 +266,50 @@ def _blank_artifact() -> dict:
     }
 
 
+def test_healthy_but_slower_device_keeps_host_headline(bench, monkeypatch):
+    """A verified-healthy window where the device path is honest but
+    SLOWER than the host path (the standing regime: the relay link taxes
+    every wire round) must keep the host number as the headline — the
+    faster of two honest product paths — with device numbers alongside."""
+    import jax
+
+    import libacm_tpu.parallel as par
+    from libacm_tpu.ops import synth_pallas
+    from libacm_tpu.parallel import corpus as corpus_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bench, "wait_for_relay", lambda budget: (0.01, 500.0))
+    monkeypatch.setattr(bench, "time_reference_once",
+                        lambda ref, files: 0.1)  # ref: 10 Ms/s
+    monkeypatch.setattr(bench, "pallas_parity_sweep", lambda t: "PASS")
+    monkeypatch.setattr(corpus_mod, "measure_backend",
+                        lambda lv, rw: ("pallas", {"jax": 100.0,
+                                                   "pallas": 150.0}))
+    monkeypatch.setattr(synth_pallas, "pallas_supported",
+                        lambda lv, rw: True)
+
+    class FakeCorpus:
+        def checksum(self):
+            return 7
+
+    def device(paths, backend="auto"):
+        time.sleep(0.05)  # 20 Ms/s: beats ref (10), loses to host (300)
+        return FakeCorpus()
+
+    monkeypatch.setattr(par, "decode_corpus_device", device)
+
+    artifact = _blank_artifact()
+    bench._device_phase(artifact, ref=object(), files=["f"],
+                        total_samples=1_000_000, geoms={(7, 16): 1_000_000},
+                        ref_t=[0.1], deadline=time.time() + 3600)
+    assert artifact["headline_path"] == "host"
+    assert artifact["value"] == 300.0  # phase-1 host number untouched
+    assert artifact["vs_baseline"] == artifact["host_vs_baseline"]
+    assert artifact["device_resident_Msamples_per_s"] is not None
+    assert artifact["device_vs_baseline"] > 1  # device DID beat the ref
+    assert artifact["pallas_shootout"] is not None
+
+
 def test_device_rounds_skipped_still_records_compute_evidence(
         bench, monkeypatch):
     """Below 1 MB/s the ~28 MiB corpus wire rounds are skipped outright,

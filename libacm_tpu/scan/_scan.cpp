@@ -1133,6 +1133,23 @@ inline void pass_body_generic(const uint32_t* __restrict x,
   }
 }
 
+// Constant-L form of pass_body_generic for the mid-size passes
+// (L in {32..256}): exact trip counts let the vectorizer emit full-width
+// vector loops with no runtime prologue/epilogue or trip-count checks.
+// Same expressions, same evaluation order as pass_body_generic —
+// bit-identical by construction (uint32 wrap arithmetic).
+template <int LOG2L>
+inline void pass_body_big(const uint32_t* __restrict x,
+                          uint32_t* __restrict y, int64_t n) {
+  constexpr int64_t L = int64_t{1} << LOG2L;
+  for (int64_t i = 0; i < n; i += 2 * L) {
+    for (int64_t j = 0; j < L; j++)
+      y[i + j] = x[i + j] + x[i + j - 2 * L] + 2u * x[i + j - L];
+    for (int64_t j = 0; j < L; j++)
+      y[i + L + j] = 2u * x[i + j] - x[i + L + j] - x[i + j - L];
+  }
+}
+
 // x, y must each have >= cols words of writable headroom BEFORE them (the
 // per-pass history is copied there so the sweep has no boundary cases).
 inline uint32_t* synth_block_host(uint32_t* x, uint32_t* y, uint32_t* wrap,
@@ -1148,6 +1165,10 @@ inline uint32_t* synth_block_host(uint32_t* x, uint32_t* y, uint32_t* wrap,
       case 4: pass_body_small<2>(x, y, n); break;
       case 8: pass_body_small<3>(x, y, n); break;
       case 16: pass_body_small<4>(x, y, n); break;
+      case 32: pass_body_big<5>(x, y, n); break;
+      case 64: pass_body_big<6>(x, y, n); break;
+      case 128: pass_body_big<7>(x, y, n); break;
+      case 256: pass_body_big<8>(x, y, n); break;
       default: pass_body_generic(x, y, n, L); break;
     }
     if (p == 0)  // rounding bias: +1 at element 0 of every pass-0 row
@@ -1397,6 +1418,10 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
       case 4: pass_body_small<2>(x, y, n); break;
       case 8: pass_body_small<3>(x, y, n); break;
       case 16: pass_body_small<4>(x, y, n); break;
+      case 32: pass_body_big<5>(x, y, n); break;
+      case 64: pass_body_big<6>(x, y, n); break;
+      case 128: pass_body_big<7>(x, y, n); break;
+      case 256: pass_body_big<8>(x, y, n); break;
       default: pass_body_generic(x, y, n, L); break;
     }
     w += 2 * L;

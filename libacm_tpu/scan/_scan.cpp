@@ -1293,6 +1293,85 @@ inline void pass_pack_avx(const uint32_t* x, int16_t* dst, int64_t n,
     prev = cur;
   }
 }
+// Mid passes (L in {16, 32}): x[i-L] and x[i-2L] fall on whole previous
+// 16-lane chunks, so a register-carried chunk ring replaces the three
+// overlapping loads per vector of the autovectorized body with ONE
+// aligned load. Same uniform-sign arithmetic on wrapping uint32 —
+// bit-identical to pass_body_small/_big by construction. Requires
+// 64-byte-aligned x/y (the avx_ok gate) and n a multiple of 2L (always
+// true: n = rows << (p+1) * L).
+template <int LOG2L>
+inline void pass_avx_mid(const uint32_t* x, uint32_t* y, int64_t n) {
+  constexpr int CH = (1 << LOG2L) / 16;  // chunks per L
+  __m512i h[2 * CH];                     // trailing 2L-word history
+  for (int t = 0; t < 2 * CH; t++)
+    h[t] = _mm512_load_si512(
+        reinterpret_cast<const void*>(x - 32 * CH + 16 * t));
+  for (int64_t i = 0; i < n; i += 32 * CH) {
+    __m512i c[2 * CH];
+    for (int j = 0; j < CH; j++) {  // even sub-rows: x + x[-2L] + 2*x[-L]
+      c[j] = _mm512_load_si512(
+          reinterpret_cast<const void*>(x + i + 16 * j));
+      _mm512_store_si512(
+          reinterpret_cast<void*>(y + i + 16 * j),
+          _mm512_add_epi32(_mm512_add_epi32(c[j], h[j]),
+                           _mm512_add_epi32(h[j + CH], h[j + CH])));
+    }
+    for (int j = CH; j < 2 * CH; j++) {  // odd: 2*x[-L] - x - x[-2L]
+      c[j] = _mm512_load_si512(
+          reinterpret_cast<const void*>(x + i + 16 * j));
+      _mm512_store_si512(
+          reinterpret_cast<void*>(y + i + 16 * j),
+          _mm512_sub_epi32(
+              _mm512_sub_epi32(_mm512_add_epi32(c[j - CH], c[j - CH]),
+                               c[j]),
+              h[j]));
+    }
+    for (int t = 0; t < 2 * CH; t++) h[t] = c[t];
+  }
+}
+
+// Fused dequant pass 0 for L in {32, 64} (levels 6/7 — the corpus
+// majority): chunk-carried history like pass_avx_mid, with the k widening
+// + k*val multiply done once per chunk (the scalar pass0_dequant re-reads
+// each k three times) and the +1 rounding bias (every lane = 0 mod L:
+// lane 0 of chunks 0 and CH per 2L period) riding as a masked constant.
+// `hist` is the 2L-word pass-0 wrap segment; consumed before the caller
+// overwrites it.
+template <int LOG2L>
+inline void pass0_avx_big(const int16_t* k, uint32_t val,
+                          const uint32_t* hist, uint32_t* y, int64_t n) {
+  constexpr int CH = (1 << LOG2L) / 16;
+  const __m512i V = _mm512_set1_epi32(static_cast<int32_t>(val));
+  const __m512i B = _mm512_maskz_set1_epi32(1, 1);  // +1 at lane 0
+  __m512i h[2 * CH];
+  for (int t = 0; t < 2 * CH; t++)
+    h[t] = _mm512_loadu_si512(
+        reinterpret_cast<const void*>(hist + 16 * t));
+  for (int64_t i = 0; i < n; i += 32 * CH) {
+    __m512i c[2 * CH];
+    for (int j = 0; j < 2 * CH; j++)
+      c[j] = _mm512_mullo_epi32(
+          _mm512_cvtepi16_epi32(_mm256_loadu_si256(
+              reinterpret_cast<const __m256i*>(k + i + 16 * j))),
+          V);
+    for (int j = 0; j < CH; j++) {
+      __m512i r =
+          _mm512_add_epi32(_mm512_add_epi32(c[j], h[j]),
+                           _mm512_add_epi32(h[j + CH], h[j + CH]));
+      if (j == 0) r = _mm512_add_epi32(r, B);
+      _mm512_store_si512(reinterpret_cast<void*>(y + i + 16 * j), r);
+    }
+    for (int j = CH; j < 2 * CH; j++) {
+      __m512i r = _mm512_sub_epi32(
+          _mm512_sub_epi32(_mm512_add_epi32(c[j - CH], c[j - CH]), c[j]),
+          h[j]);
+      if (j == CH) r = _mm512_add_epi32(r, B);
+      _mm512_store_si512(reinterpret_cast<void*>(y + i + 16 * j), r);
+    }
+    for (int t = 0; t < 2 * CH; t++) h[t] = c[t];
+  }
+}
 #endif  // __AVX512F__
 
 // Pass 0 with dequantization fused in: reads k (int16) directly, so the
@@ -1389,6 +1468,15 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
       pass0_dequant_small<3>(k, val, wrap, y, n);
       break;
     case 16: pass0_dequant_small<4>(k, val, wrap, y, n); break;
+#if defined(__AVX512F__)
+    case 32:
+      if (avx_ok) { pass0_avx_big<5>(k, val, wrap, y, n); break; }
+      goto pass0_scalar;
+    case 64:
+      if (avx_ok) { pass0_avx_big<6>(k, val, wrap, y, n); break; }
+      goto pass0_scalar;
+    pass0_scalar:
+#endif
     default:
       pass0_dequant(k, val, wrap, y, n, L);
       for (int64_t i = 0; i < n; i += L) y[i] += 1u;  // pass-0 bias
@@ -1401,11 +1489,13 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
     std::memcpy(x - 2 * L, w, 2 * L * sizeof(uint32_t));  // history
     std::memcpy(w, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
 #if defined(__AVX512F__)
-    if (avx_ok && L <= 8) {
+    if (avx_ok && L <= 32) {
       switch (L) {
         case 2: pass_avx_small<1>(x, y, n); break;
         case 4: pass_avx_small<2>(x, y, n); break;
-        default: pass_avx_small<3>(x, y, n); break;
+        case 8: pass_avx_small<3>(x, y, n); break;
+        case 16: pass_avx_mid<4>(x, y, n); break;
+        default: pass_avx_mid<5>(x, y, n); break;
       }
       w += 2 * L;
       std::swap(x, y);

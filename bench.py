@@ -575,7 +575,12 @@ def _compute_phase(artifact: dict, geoms: "dict[tuple[int, int], int]",
 
     Gate on the RTT, not bulk bandwidth: a STALLED relay (rtt inf) would
     burn the _deadline timeouts for nothing, but a merely slow one can
-    still produce this evidence. Mutates `artifact` in place."""
+    still produce this evidence. Mutates `artifact` in place.
+
+    RESUMABLE: geometries already in the artifact's shootout table are
+    skipped and a PASS/FAIL sweep verdict is kept, so the recovery loop
+    can re-enter this phase after a mid-window stall and only the missing
+    evidence re-runs."""
     if rtt_s != rtt_s or rtt_s == float("inf") or rtt_s > 5.0:
         log("relay unresponsive (rtt gate): compute phase skipped")
         if artifact.get("pallas_parity_sweep") is None:
@@ -585,12 +590,16 @@ def _compute_phase(artifact: dict, geoms: "dict[tuple[int, int], int]",
         from libacm_tpu.ops.synth_pallas import pallas_supported
         from libacm_tpu.parallel.corpus import measure_backend
 
-        table: dict[str, dict] = {}
+        table: dict[str, dict] = dict(artifact.get("pallas_shootout") or {})
         best: dict[tuple[int, int], float] = {}
+        for key, row in table.items():  # resume: keep prior measurements
+            lv, rw = map(int, key.split("/"))
+            if row.get(row.get("winner")):
+                best[(lv, rw)] = row[row["winner"]]
         for level, rows in geoms:
             if deadline - time.time() < 150:
                 break
-            if not pallas_supported(level, rows):
+            if not pallas_supported(level, rows) or f"{level}/{rows}" in table:
                 continue
             try:
                 res, ok = _deadline(
@@ -624,6 +633,8 @@ def _compute_phase(artifact: dict, geoms: "dict[tuple[int, int], int]",
 
     # On-HW parity sweep (subprocess, bounded): bit-equality pallas vs
     # XLA at every supported level, recorded in the artifact.
+    if artifact.get("pallas_parity_sweep") in ("PASS", "FAIL"):
+        return  # resume: a real verdict is never re-earned or downgraded
     sweep_left = deadline - time.time() - 30
     if sweep_left > 120:
         log("pallas parity sweep (levels 1-14, on hardware):")
@@ -632,6 +643,149 @@ def _compute_phase(artifact: dict, geoms: "dict[tuple[int, int], int]",
         log(f"  sweep: {artifact['pallas_parity_sweep']}")
     else:
         artifact["pallas_parity_sweep"] = "skipped (budget exhausted)"
+
+
+def _missing_device_evidence(artifact: dict) -> list[str]:
+    """Which device-evidence fields the artifact still lacks."""
+    missing = []
+    if artifact.get("pallas_shootout") is None:
+        missing.append("shootout")
+    if artifact.get("device_compute_Msamples_per_s") is None:
+        missing.append("compute")
+    if artifact.get("pallas_parity_sweep") not in ("PASS", "FAIL"):
+        missing.append("parity")
+    if artifact.get("device_resident_Msamples_per_s") is None:
+        missing.append("device-resident")
+    return missing
+
+
+def _recovery_device_rounds(artifact: dict, ref, files, total_samples: int,
+                            ref_t: list[float], deadline: float,
+                            link_mbps: float) -> None:
+    """Late device-resident rounds after the relay recovered mid-budget.
+
+    Mirrors _device_phase's round + headline semantics: warmup, then
+    reference-interleaved timed rounds (2 in a degraded window, 5 in a
+    healthy one), checksum self-consistency, and the
+    faster-of-two-honest-paths headline rule. Upgrade-only: a stalled
+    round abandons quietly and the artifact keeps its prior fields."""
+    from libacm_tpu.parallel import decode_corpus_device
+
+    paths = [str(f) for f in files]
+    healthy = link_mbps >= HEALTHY_MBPS
+    dev_t: list[float] = []
+    want = None
+    n = 5 if healthy else 2
+    for i in range(n + 1):  # round 0 is the compile/warmup round
+        if deadline - time.time() < 150:
+            break
+        if i and ref is not None:
+            ref_t.append(time_reference_once(ref, files))
+        t0 = time.perf_counter()
+        cs, ok = _deadline(
+            lambda: decode_corpus_device(paths).checksum(),
+            min(420.0, deadline - time.time() - 60),
+            "recovery device round")
+        if not ok:
+            log("  recovery device round stalled; backing off")
+            return
+        dt = time.perf_counter() - t0
+        if want is None:
+            want = cs
+        assert cs == want, "checksum drift across recovery rounds"
+        if i:
+            dev_t.append(dt)
+            log(f"  recovery device round {i}: {dt:.3f} s")
+        time.sleep(1.5)
+    if not dev_t:
+        return
+    ref_min = min(ref_t) if ref_t else None
+    ref_msps = total_samples / ref_min / 1e6 if ref_min else None
+    dev_msps = total_samples / min(dev_t) / 1e6
+    artifact["device_resident_Msamples_per_s"] = round(dev_msps, 2)
+    artifact["device_vs_baseline"] = _ratio(dev_msps, ref_msps)
+    log(f"framework (device-resident, recovered window): {min(dev_t):.3f} s "
+        f"= {dev_msps:.1f} Msamples/s")
+    host_msps = artifact.get("host_path_Msamples_per_s")
+    artifact["host_vs_baseline"] = _ratio(host_msps, ref_msps)
+    dev_won = bool(ref_msps) and dev_msps >= ref_msps
+    if (healthy or dev_won) and (not host_msps or dev_msps >= host_msps):
+        artifact["value"] = round(dev_msps, 2)
+        artifact["headline_path"] = "device"
+        artifact["vs_baseline"] = _ratio(dev_msps, ref_msps)
+    elif healthy or dev_won:
+        artifact["headline_path"] = "host"
+        artifact["vs_baseline"] = _ratio(host_msps, ref_msps)
+    else:
+        artifact["headline_path"] = "host-linkbound"
+        artifact["vs_baseline"] = _ratio(host_msps, ref_msps)
+
+
+def _recovery_loop(artifact: dict, ref, files, total_samples: int,
+                   geoms: "dict[tuple[int, int], int]", ref_t: list[float],
+                   t_start: float, probe_deadline: float,
+                   deadline: float) -> None:
+    """Keep re-probing a stalled relay for the REST of the budget.
+
+    Round-4 loss mode: one 240 s probe timed out, the rtt gate skipped
+    the compute phase, and the bench exited at t+248 s of a 1200 s budget
+    — leaving ~950 s in which the relay might have recovered. As long as
+    device evidence is missing: sleep 60 s, cheap probe, and the moment
+    the relay answers run the (resumable) compute phase and — at >=1 MB/s
+    bulk — late device-resident rounds. New probes stop at
+    `probe_deadline` (~0.85x budget); in-flight work may run to
+    `deadline`. Every probe lands in artifact["recovery_probes"], so an
+    artifact with null device fields carries the trail proving the relay
+    never answered once in the full budget."""
+    missing = _missing_device_evidence(artifact)
+    if not missing:
+        return
+
+    def backend_name():
+        import jax
+
+        return jax.default_backend()
+
+    bk, ok = _deadline(backend_name, min(240.0, max(
+        5.0, probe_deadline - time.time())), "recovery backend detection")
+    if ok and bk in ("cpu", "gpu"):
+        return  # no TPU behind this process: nothing to recover
+    trail: list[dict] = artifact.setdefault("recovery_probes", [])
+    while missing and time.time() + 70 < probe_deadline:
+        time.sleep(60)
+        rtt, mbps = safe_probe(
+            "recovery probe",
+            timeout_s=min(120.0, probe_deadline - time.time()))
+        trail.append({
+            "t_s": round(time.time() - t_start, 1),
+            "rtt_s": round(rtt, 2) if rtt != float("inf") else None,
+            "MBps": round(mbps, 1) if mbps == mbps else 0.0,
+        })
+        log(f"recovery probe at t+{trail[-1]['t_s']:.0f} s: "
+            f"rtt={rtt:.2f} s, bulk={mbps:.1f} MB/s "
+            f"(missing: {', '.join(missing)})")
+        if rtt == float("inf") or rtt > 5.0:
+            continue
+        artifact["relay_probe_s"] = round(rtt, 3)
+        artifact["link_MBps"] = round(mbps, 1)
+        if {"shootout", "compute", "parity"} & set(missing):
+            try:
+                _compute_phase(artifact, geoms, deadline, rtt)
+            except Exception as exc:
+                log(f"recovered-window compute phase failed "
+                    f"({type(exc).__name__}: {exc})")
+        if "device-resident" in _missing_device_evidence(artifact) \
+                and mbps >= 1.0:
+            try:
+                _recovery_device_rounds(artifact, ref, files, total_samples,
+                                        ref_t, deadline, mbps)
+            except Exception as exc:
+                log(f"recovery device rounds failed "
+                    f"({type(exc).__name__}: {exc})")
+        missing = _missing_device_evidence(artifact)
+    if missing:
+        log(f"recovery loop ended at t+{time.time() - t_start:.0f} s; "
+            f"still missing: {', '.join(missing)}")
 
 
 def time_native_scan(files: list[pathlib.Path], total: int) -> float | None:
@@ -813,6 +967,13 @@ def _main(t_start: float) -> int:
     except Exception as exc:
         log(f"device phase abandoned ({type(exc).__name__}: {exc}); "
             "host artifact stands")
+    # ---- Phase 3: relay recovery (use the WHOLE budget, not the first
+    # stalled probe's verdict) — new probes stop at 0.85x budget ----
+    try:
+        _recovery_loop(_ARTIFACT, ref, files, total_samples, geoms, ref_t,
+                       t_start, t_start + 0.85 * budget_s, deadline)
+    except Exception as exc:
+        log(f"recovery loop abandoned ({type(exc).__name__}: {exc})")
     _ARTIFACT["bench_wall_s"] = round(time.time() - t_start, 1)
     emit_artifact()
     return 0

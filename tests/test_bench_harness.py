@@ -372,6 +372,144 @@ def test_stalled_relay_skips_compute_phase(bench, monkeypatch):
     assert artifact["pallas_parity_sweep"] == "skipped (relay unresponsive)"
 
 
+def test_recovery_loop_noop_when_evidence_complete(bench, monkeypatch):
+    """A complete artifact must not probe at all (zero relay cost)."""
+    def never(*a, **k):
+        raise AssertionError("complete artifact must not probe")
+
+    monkeypatch.setattr(bench, "safe_probe", never)
+    artifact = _blank_artifact()
+    artifact.update(pallas_shootout={"7/16": {"winner": "jax", "jax": 1.0,
+                                              "pallas": 0.5}},
+                    device_compute_Msamples_per_s=1.0,
+                    pallas_parity_sweep="PASS",
+                    device_resident_Msamples_per_s=100.0)
+    t0 = time.time()
+    bench._recovery_loop(artifact, ref=None, files=[], total_samples=1,
+                         geoms={}, ref_t=[], t_start=t0,
+                         probe_deadline=t0 + 3600, deadline=t0 + 3600)
+    assert "recovery_probes" not in artifact
+
+
+def test_recovery_loop_captures_evidence_after_relay_recovers(
+        bench, monkeypatch):
+    """The round-4 loss mode, fixed: the first probes are stalled, a later
+    one answers — the loop must then land the compute evidence AND late
+    device rounds in the artifact, and upgrade the headline if the device
+    path won the window."""
+    import jax
+
+    import libacm_tpu.parallel as par
+    from libacm_tpu.ops import synth_pallas
+    from libacm_tpu.parallel import corpus as corpus_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    probes = iter([(float("inf"), 0.0), (float("inf"), 0.0), (0.1, 200.0)])
+    monkeypatch.setattr(bench, "safe_probe",
+                        lambda *a, **k: next(probes, (0.1, 200.0)))
+    monkeypatch.setattr(bench, "pallas_parity_sweep", lambda t: "PASS")
+    monkeypatch.setattr(corpus_mod, "measure_backend",
+                        lambda lv, rw: ("pallas", {"jax": 100.0,
+                                                   "pallas": 150.0}))
+    monkeypatch.setattr(synth_pallas, "pallas_supported",
+                        lambda lv, rw: True)
+    monkeypatch.setattr(bench, "time_reference_once", lambda ref, files: 1.0)
+
+    class FakeCorpus:
+        def checksum(self):
+            return 7
+
+    monkeypatch.setattr(par, "decode_corpus_device",
+                        lambda paths, backend="auto": FakeCorpus())
+
+    artifact = _blank_artifact()
+    artifact["device_compute_Msamples_per_s"] = None
+    t0 = time.time()
+    bench._recovery_loop(artifact, ref=object(), files=["f"],
+                         total_samples=100_000_000,
+                         geoms={(7, 16): 100_000_000}, ref_t=[1.0],
+                         t_start=t0, probe_deadline=t0 + 3600,
+                         deadline=t0 + 3600)
+    assert len(artifact["recovery_probes"]) == 3
+    assert artifact["recovery_probes"][0]["rtt_s"] is None  # stalled probe
+    assert artifact["pallas_shootout"] == {
+        "7/16": {"winner": "pallas", "jax": 100.0, "pallas": 150.0}}
+    assert artifact["device_compute_Msamples_per_s"] == 150.0
+    assert artifact["pallas_parity_sweep"] == "PASS"
+    # device rounds: near-instant fake vs 1.0 s ref -> device headline
+    assert artifact["device_resident_Msamples_per_s"] is not None
+    assert artifact["headline_path"] == "device"
+    assert artifact["value"] == artifact["device_resident_Msamples_per_s"]
+
+
+def test_recovery_loop_records_probe_trail_on_dead_relay(bench, monkeypatch):
+    """If the relay never answers, the artifact must still carry the
+    probe trail (the proof the bench kept trying) and stop issuing new
+    probes at probe_deadline."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "safe_probe",
+                        lambda *a, **k: (float("inf"), 0.0))
+
+    def never(*a, **k):
+        raise AssertionError("dead relay must not reach the compute phase")
+
+    monkeypatch.setattr(bench, "_compute_phase", never)
+    monkeypatch.setattr(bench, "_recovery_device_rounds", never)
+
+    artifact = _blank_artifact()
+    artifact["device_compute_Msamples_per_s"] = None
+    t0 = time.time()
+    bench._recovery_loop(artifact, ref=None, files=[], total_samples=1,
+                         geoms={}, ref_t=[], t_start=t0,
+                         probe_deadline=t0 + 70.2, deadline=t0 + 700)
+    assert artifact["pallas_shootout"] is None
+    trail = artifact["recovery_probes"]
+    assert trail and all(p["rtt_s"] is None and p["MBps"] == 0.0
+                         for p in trail)
+
+
+def test_compute_phase_resumes_without_remeasuring(bench, monkeypatch):
+    """Re-entering _compute_phase must skip geometries already measured
+    and keep a PASS sweep verdict — resume, not repeat."""
+    from libacm_tpu.ops import synth_pallas
+    from libacm_tpu.parallel import corpus as corpus_mod
+
+    measured = []
+
+    def measure(lv, rw):
+        measured.append((lv, rw))
+        return "pallas", {"jax": 50.0, "pallas": 80.0}
+
+    monkeypatch.setattr(corpus_mod, "measure_backend", measure)
+    monkeypatch.setattr(synth_pallas, "pallas_supported", lambda lv, rw: True)
+
+    def never(t):
+        raise AssertionError("PASS verdict must not re-run the sweep")
+
+    monkeypatch.setattr(bench, "pallas_parity_sweep", never)
+
+    artifact = _blank_artifact()
+    artifact["pallas_shootout"] = {
+        "7/16": {"winner": "pallas", "jax": 100.0, "pallas": 150.0}}
+    artifact["pallas_parity_sweep"] = "PASS"
+    artifact["device_compute_Msamples_per_s"] = None
+    bench._compute_phase(artifact,
+                         geoms={(7, 16): 3_000_000, (4, 40): 1_000_000},
+                         deadline=time.time() + 3600, rtt_s=0.1)
+    assert measured == [(4, 40)]  # only the missing geometry ran
+    assert artifact["pallas_shootout"]["7/16"]["pallas"] == 150.0  # kept
+    assert artifact["pallas_shootout"]["4/40"] == {
+        "winner": "pallas", "jax": 50.0, "pallas": 80.0}
+    # corpus-share-weighted harmonic mean over BOTH geometries' winners
+    want = 4_000_000 / (3_000_000 / 150.0 + 1_000_000 / 80.0)
+    assert abs(artifact["device_compute_Msamples_per_s"] - want) < 0.1
+    assert artifact["pallas_parity_sweep"] == "PASS"
+
+
 def test_main_crash_fallback_emits_one_line(bench, monkeypatch, capsys):
     """An exception BEFORE the phase-1 artifact is secured must still
     produce exactly one JSON line (the CLAUDE.md bench contract)."""

@@ -299,7 +299,7 @@ def one_round(rng: np.random.Generator) -> str:
     # C decoder is the ground truth that our emitted grammar is legal and
     # PCM-identical (clean, fully-decoded streams only: that is
     # optimize_acm's contract)
-    if kind == "clean" and len(want) and rng.random() < 0.04:
+    if kind == "clean" and len(want) and rng.random() < 0.10:
         from libacm_tpu.encode import optimize_acm
 
         try:
@@ -525,13 +525,15 @@ def main():
             kind = one_round(rng)
             kinds[kind] = kinds.get(kind, 0) + 1
             n += 1
-            # mesh axes at ~18% of rounds combined (VERDICT r3 item 8:
-            # 8+4 of 201 was too thin for the multichip surface)
+            # mesh axes at ~30% of rounds combined, stream_device alone
+            # >= 10% (VERDICT r4 item 6: 6/145 was too thin — the round-4
+            # bug class, wire-sink tails and buffer exports, lives on the
+            # device-pipeline axes)
             if _POOL and n % 8 == 0:
                 sharded_round(rng)
                 kinds["sharded"] = kinds.get("sharded", 0) + 1
                 n += 1
-            if _POOL and n % 12 == 0:
+            if _POOL and n % 6 == 0:
                 stream_device_round(rng)
                 kinds["stream_device"] = kinds.get("stream_device", 0) + 1
                 n += 1

@@ -441,9 +441,11 @@ def _finalize(e: _FileEntry, pcm_flat: np.ndarray, block_len: int) -> FileResult
                           status=e.first_err if e.first_err not in
                           (0, ACM_EXPECTED_EOF) else 0,
                           filler_words=0)
-    if e.events is not None and np.any(e.events != 0):
-        # errors present: replicate the CLI's exact stop position (errors
-        # are swallowed mid-chunk, fatal at chunk boundaries)
+    if e.events is not None and e.first_err != 0:
+        # errors present (first_err is the first nonzero event, so this
+        # equals any(events != 0) without the per-file numpy reduction):
+        # replicate the CLI's exact stop position (errors are swallowed
+        # mid-chunk, fatal at chunk boundaries)
         stop = cli_stop_words(e.events, block_len, h.total_values, e.channels)
     else:
         stop = effective_stop(h.total_values, block_len, e.channels,
@@ -1514,54 +1516,107 @@ def _stream_wire_chunks(reader: "_StreamReader", e: _FileEntry, W: int,
         bit = resume - 8 * drop
 
 
+#: decode_corpus_host batching bounds: a batch holds at most this many
+#: files / input bytes, so host residency stays O(batch) of raw bytes
+#: (decoded PCM is O(corpus) regardless — the caller keeps every result)
+_HOST_BATCH_FILES = 256
+_HOST_BATCH_BYTES = 128 << 20
+
+
 def decode_corpus_host(
     sources: Sequence[Source],
     *,
     force_chans: int = 0,
     workers: int = 1,
 ) -> list[FileResult]:
-    """Pure-host corpus decode: fused C++ scan+synth, file at a time.
+    """Pure-host corpus decode: fused C++ scan+synth, batched native calls.
 
     The host-output fast path: when the consumer needs PCM bytes on the
     host (CLI, WAV transcode, `decode_corpus`), synthesizing on device and
     fetching back wastes the device↔host link; the fused native pipeline
     (scan + filterbank + int16 in one cache-resident sweep per block,
     `_scan.cpp acm_decode_host`) beats the reference's single-core decode
-    (acmtool.c:269-291 read loop) outright. O(workers·file) memory —
-    sources are read, decoded, and released one at a time per worker.
+    (acmtool.c:269-291 read loop) outright. Files cross the ctypes
+    boundary in batches (`acm_decode_corpus_host_batch`) — one
+    GIL-released native sweep per ~256 files instead of a Python round
+    trip per file. Raw input bytes are held O(batch), not O(corpus).
 
-    `workers > 1` decodes files concurrently: the native call releases
+    `workers > 1` decodes batches concurrently: the native call releases
     the GIL and every scratch/PCM pool is thread-local, so throughput
     scales with physical cores (unlike the strictly single-threaded
     reference). Results are index-ordered either way.
     """
     from ..scan import native as _native
 
-    def _one(i: int, src: Source) -> FileResult:
-        try:
-            data = _read_source(src)
-        except OSError:
-            return FileResult(index=i, info=None, pcm=None,
-                              status=int(AcmError.ERR_OPEN))
-        header = parse_header(BitReader(data))
-        if header is None:
-            return FileResult(index=i, info=None, pcm=None,
-                              status=int(AcmError.ERR_NOT_ACM))
-        e = _FileEntry(
-            index=i, src=src, header=header, nbytes=len(data),
-            channels=resolve_channels(header.channels, header.wavc_file,
-                                      force_chans),
-        )
-        # bit-exact even on stale-amp-table streams: the fused native
-        # decoder reproduces the reference's stale reads via the virtual
-        # table (see SynthEmitter in _scan.cpp) — no oracle fallback
-        _apply_host_decode(e, _native.decode_host(data, header))
-        return _finalize(e, e.host_pcm, header.block_len)
+    results: list[FileResult | None] = [None] * len(sources)
+
+    def _run_batch(lo: int, hi: int) -> None:
+        # read + header-parse this slice; failures resolve immediately
+        blobs: list[bytes] = []
+        headers = []
+        idxs: list[int] = []
+        for i in range(lo, hi):
+            try:
+                data = _read_source(sources[i])
+            except OSError:
+                results[i] = FileResult(index=i, info=None, pcm=None,
+                                        status=int(AcmError.ERR_OPEN))
+                continue
+            header = parse_header(BitReader(data))
+            if header is None:
+                results[i] = FileResult(index=i, info=None, pcm=None,
+                                        status=int(AcmError.ERR_NOT_ACM))
+                continue
+            blobs.append(data)
+            headers.append(header)
+            idxs.append(i)
+        for s in range(0, len(idxs), _HOST_BATCH_FILES):
+            # secondary split on input bytes so a batch of huge files
+            # doesn't pin the whole slice's raw bytes at once
+            t = s
+            while t < min(s + _HOST_BATCH_FILES, len(idxs)):
+                u = t
+                nbytes = 0
+                while (u < min(s + _HOST_BATCH_FILES, len(idxs))
+                       and (u == t or nbytes + len(blobs[u])
+                            <= _HOST_BATCH_BYTES)):
+                    nbytes += len(blobs[u])
+                    u += 1
+                batch = _native.decode_corpus_host_batch(blobs[t:u],
+                                                         headers[t:u])
+                for off, bf in enumerate(batch):
+                    i = idxs[t + off]
+                    header = headers[t + off]
+                    e = _FileEntry(
+                        index=i, src=sources[i], header=header,
+                        nbytes=len(blobs[t + off]),
+                        channels=resolve_channels(header.channels,
+                                                  header.wavc_file,
+                                                  force_chans),
+                    )
+                    if bf.overflowed:
+                        # heavily corrupt stream: its attempt list blew
+                        # the batch's event slot — exact solo rescan
+                        _apply_host_decode(
+                            e, _native.decode_host(blobs[t + off], header))
+                    else:
+                        e.n_good = bf.n_good
+                        e.first_err = bf.first_err
+                        e.events = bf.events
+                        e.host_pcm = bf.pcm
+                    results[i] = _finalize(e, e.host_pcm, header.block_len)
+                    blobs[t + off] = b""  # release raw bytes eagerly
+                t = u
 
     if workers <= 1 or len(sources) <= 1:
-        return [_one(i, src) for i, src in enumerate(sources)]
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(_one, range(len(sources)), sources))
+        _run_batch(0, len(sources))
+    else:
+        step = -(-len(sources) // workers)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda lo: _run_batch(lo, min(lo + step,
+                                                      len(sources))),
+                        range(0, len(sources), step)))
+    return results  # type: ignore[return-value]
 
 
 def decode_corpus(

@@ -2028,6 +2028,70 @@ int64_t acm_decode_host(const uint8_t* data, int64_t nbytes,
   return rc;
 }
 
+// Batched fused host decode: a whole corpus (mixed geometries) in ONE
+// call — the per-file Python/ctypes round trip of the corpus host loop
+// (~25% of end-to-end wall at 190 files) collapses into one GIL-released
+// native sweep. Semantically identical to calling acm_decode_host per
+// file with a fresh zero wrap carry and a fresh (stream-start) amp
+// table: each file is an independent stream.
+//   datas/lens/skips/maxb/levels/rowss: per-file inputs (maxb = the
+//   caller's byte-capped block bound, as in the single-file entry).
+//   pcm_out arena with per-file word offsets pcm_off[j] (capacity
+//   maxb[j]*rows*cols each).
+//   events_out arena at per-file offsets ev_off[j] with capacity
+//   ev_off[j+1]-ev_off[j] (so ev_off has n_files+1 entries); a file
+//   whose attempt count exceeds its slot sets out[j*4+3] = 1 and the
+//   caller rescans it solo (only heavily corrupt streams).
+//   events_scratch/tell_scratch: [max_events] shared scratch, sized to
+//   the LARGEST per-file bound (8*(len+1))/20+4.
+//   col_tmp [max rows]; kbuf [max rows*cols] int16; xbuf/ybuf
+//   [max rows*cols + max cols] uint32 (64B-aligned for the AVX bodies);
+//   wrap_buf [max(2*cols-2, 1)] uint32 — zeroed here per file.
+//   out [n_files * 4]: n_good, first_err, n_events, events_overflowed.
+int64_t acm_decode_corpus_host_batch(
+    const uint8_t* const* datas, const int64_t* lens, const int64_t* skips,
+    const int64_t* maxb, const int32_t* levels, const int32_t* rowss,
+    int64_t n_files, int16_t* pcm_out, const int64_t* pcm_off,
+    int16_t* events_out, const int64_t* ev_off, int16_t* events_scratch,
+    int64_t* tell_scratch, int64_t max_events, int16_t* col_tmp,
+    int16_t* kbuf, uint32_t* xbuf, uint32_t* ybuf, uint32_t* wrap_buf,
+    int64_t* out) {
+  for (int64_t j = 0; j < n_files; j++) {
+    const int level = levels[j];
+    const int rows = rowss[j];
+    const int cols = 1 << level;
+    const int wlen = 2 * cols - 2;
+    if (wlen > 0) std::memset(wrap_buf, 0, wlen * sizeof(uint32_t));
+    SynthEmitter em{pcm_out + pcm_off[j], wrap_buf, kbuf, xbuf + cols,
+                    ybuf + cols, level, rows, cols,
+                    static_cast<int64_t>(rows) * cols};
+    int64_t fmeta[16] = {0};
+    int64_t rc = scan_driver<SynthEmitter, /*FAST=*/true>(
+        datas[j], lens[j], skips[j], level, rows, cols, maxb[j], max_events,
+        events_scratch, tell_scratch, fmeta, col_tmp, em,
+        /*stop_on_error=*/false);
+    if (rc != 0) return -(j + 1);  // event scratch exceeded (cannot happen
+                                   // with the documented per-file bound)
+    const int64_t n_events = fmeta[1];
+    int64_t first_err = 0;
+    for (int64_t i = 0; i < n_events; i++) {
+      if (events_scratch[i] != 0) {
+        first_err = events_scratch[i];
+        break;
+      }
+    }
+    const int64_t ev_cap = ev_off[j + 1] - ev_off[j];
+    out[j * 4 + 0] = fmeta[0];
+    out[j * 4 + 1] = first_err;
+    out[j * 4 + 2] = n_events;
+    out[j * 4 + 3] = n_events > ev_cap ? 1 : 0;
+    if (n_events <= ev_cap)
+      std::memcpy(events_out + ev_off[j], events_scratch,
+                  n_events * sizeof(int16_t));
+  }
+  return 0;
+}
+
 // Host synth of already-scanned dense blocks (the streaming path's
 // back-end when PCM is host-bound): k [nb*rows*cols] int16, vals [nb]
 // uint16, wrap [2*cols-2] uint32 in/out, pcm_out [nb*rows*cols] int16.

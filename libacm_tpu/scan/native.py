@@ -246,6 +246,22 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_uint8),  # ev_pwr [max_events] (nullable)
         ctypes.POINTER(ctypes.c_uint16),  # ev_val [max_events] (nullable)
     ]
+    fb = lib.acm_decode_corpus_host_batch
+    fb.restype = ctypes.c_int64
+    fb.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,  # n_files
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,  # max_events
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int64),  # out
+    ]
     fs = lib.acm_synth_dense
     fs.restype = ctypes.c_int64
     fs.argtypes = [
@@ -900,6 +916,115 @@ def decode_host(
         wrap = np.zeros(max(2 * hdr.cols - 2, 1), dtype=np.uint32)
     return _decode_host_raw(lib, data, hdr, max_blocks, max_events,
                             start_bit, wrap, final=True, table=None)
+
+
+#: decode_corpus_host_batch per-file result: events is a view into the
+#: call's arena, pcm a view into the pooled PCM arena (the arena stays
+#: alive exactly as long as any view — same refcount-gated contract as
+#: decode_host's pooled buffer). `overflowed=True` means the file's
+#: attempt count exceeded its event slot (heavily corrupt stream): the
+#: caller must rescan it solo via decode_host.
+@dataclasses.dataclass
+class BatchFile:
+    n_good: int
+    first_err: int
+    events: np.ndarray | None
+    pcm: np.ndarray | None
+    overflowed: bool = False
+
+
+def decode_corpus_host_batch(
+    blobs: "list[bytes]", headers: "list[AcmHeader]",
+) -> "list[BatchFile]":
+    """Fused host decode of many independent streams in ONE native call.
+
+    Semantically identical to `decode_host(blob, header)` per file (fresh
+    wrap carry + fresh stream-start amp table each), but the whole corpus
+    chunk crosses the ctypes boundary once: the per-file Python/ctypes
+    round trip (scratch lookup, pcm pool, pointer marshaling, HostDecode
+    assembly — ~25% of end-to-end corpus wall at ~200 files) collapses
+    into one GIL-released sweep. This is the reference CLI's whole
+    multi-file session (acmtool.c:241-291) as a single native batch.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native scanner not available")
+    n = len(blobs)
+    if n == 0:
+        return []
+    levels = np.empty(n, np.int32)
+    rowss = np.empty(n, np.int32)
+    lens = np.empty(n, np.int64)
+    skips = np.empty(n, np.int64)
+    maxb = np.empty(n, np.int64)
+    pcm_off = np.empty(n + 1, np.int64)
+    ev_off = np.empty(n + 1, np.int64)
+    pcm_off[0] = ev_off[0] = 0
+    max_ev = 64
+    max_rows = 1
+    max_n = 1
+    max_cols = 1
+    for j, (b, h) in enumerate(zip(blobs, headers)):
+        # byte-capped block bound, exactly as _prep computes it
+        nb = min(h.n_blocks, (8 * (len(b) + 1)) // (20 + 5 * h.cols) + 2)
+        levels[j] = h.level
+        rowss[j] = h.rows
+        lens[j] = len(b)
+        skips[j] = 8 * (ACM_HEADER_LEN
+                        + (WAVC_HEADER_LEN if h.wavc_file else 0))
+        maxb[j] = nb
+        pcm_off[j + 1] = pcm_off[j] + nb * h.rows * h.cols
+        # one event per attempt; clean/truncated streams stay within
+        # blocks + a few trailing attempts, and the 2x headroom absorbs
+        # moderately corrupt ones (bit flips produce failed attempts
+        # beyond the block count) — streams that still exceed it
+        # overflow to a solo rescan (rare)
+        ev_off[j + 1] = ev_off[j] + 2 * nb + 16
+        max_ev = max(max_ev, (8 * (len(b) + 1)) // 20 + 4)
+        max_rows = max(max_rows, h.rows)
+        max_n = max(max_n, h.rows * h.cols)
+        max_cols = max(max_cols, h.cols)
+    pcm = _acquire_pcm(int(pcm_off[n]))
+    events_arena = np.empty(int(ev_off[n]), np.int16)
+    ev_scratch = np.empty(max_ev, np.int16)
+    tell_scratch = np.empty(max_ev, np.int64)
+    col_tmp = np.empty(max_rows, np.int16)
+    kbuf = _aligned_zeros(max_n, np.int16)
+    xbuf = _aligned_zeros(max_n + max_cols, np.uint32)
+    ybuf = _aligned_zeros(max_n + max_cols, np.uint32)
+    wrap = np.zeros(max(2 * max_cols - 2, 1), np.uint32)
+    out = np.zeros(n * 4, np.int64)
+    datas = (ctypes.c_char_p * n)(*blobs)
+    rc = lib.acm_decode_corpus_host_batch(
+        datas, _ptr(lens, ctypes.c_int64), _ptr(skips, ctypes.c_int64),
+        _ptr(maxb, ctypes.c_int64), _ptr(levels, ctypes.c_int32),
+        _ptr(rowss, ctypes.c_int32), n,
+        _ptr(pcm, ctypes.c_int16), _ptr(pcm_off, ctypes.c_int64),
+        _ptr(events_arena, ctypes.c_int16), _ptr(ev_off, ctypes.c_int64),
+        _ptr(ev_scratch, ctypes.c_int16), _ptr(tell_scratch, ctypes.c_int64),
+        int(max_ev),
+        _ptr(col_tmp, ctypes.c_int16), _ptr(kbuf, ctypes.c_int16),
+        _ptr(xbuf, ctypes.c_uint32), _ptr(ybuf, ctypes.c_uint32),
+        _ptr(wrap, ctypes.c_uint32), _ptr(out, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"batched host decode failed at file {-rc - 1}")
+    results: list[BatchFile] = []
+    for j in range(n):
+        ng = int(out[4 * j])
+        if out[4 * j + 3]:
+            results.append(BatchFile(0, 0, None, None, overflowed=True))
+            continue
+        ne = int(out[4 * j + 2])
+        eo = int(ev_off[j])
+        po = int(pcm_off[j])
+        block = int(rowss[j]) << int(levels[j])
+        results.append(BatchFile(
+            n_good=ng, first_err=int(out[4 * j + 1]),
+            events=events_arena[eo : eo + ne],
+            pcm=pcm[po : po + ng * block],
+        ))
+    return results
 
 
 def decode_host_window(

@@ -403,6 +403,65 @@ def test_corpus_host_workers_match_serial():
                 np.testing.assert_array_equal(a.pcm, b2.pcm)
 
 
+def test_host_batch_matches_per_file_decode():
+    """The one-native-call corpus batch (acm_decode_corpus_host_batch)
+    must be bit-identical per file to solo decode_host calls — mixed
+    geometries, truncated and heavily bit-flipped members, and the
+    event-slot overflow -> solo-rescan path included."""
+    from libacm_tpu.scan import native
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+    from libacm_tpu.scan.oracle import BitReader, parse_header
+
+    rng = np.random.default_rng(77)
+    files = _corpus(seed=77, n=16)
+    files[2] = files[2][: len(files[2]) * 2 // 3]  # truncated
+    flip = bytearray(files[5])  # moderate corruption (bit flips)
+    for _ in range(40):
+        flip[int(rng.integers(14, len(flip)))] ^= 1 << int(rng.integers(0, 8))
+    files[5] = bytes(flip)
+    # guaranteed event-slot overflow: a 2-block header whose body is a
+    # truncated block followed by 0xFF garbage — every garbage attempt
+    # reads pwr/val then hits filler 31 (f_bad) and fails, so the attempt
+    # count (~8*600/25) dwarfs the 2*nb+16 slot and the batch must route
+    # this file to the solo rescan
+    tiny = testing.random_acm_bytes(np.random.default_rng(5), level=4,
+                                    rows=8, n_blocks=2)
+    files[8] = tiny[: len(tiny) * 3 // 5] + b"\xff" * 600
+    headers = [parse_header(BitReader(b)) for b in files]
+    batch = native.decode_corpus_host_batch(files, headers)
+    n_overflowed = 0
+    for data, header, bf in zip(files, headers, batch):
+        hd = native.decode_host(data, header)
+        if bf.overflowed:
+            n_overflowed += 1
+            continue  # contract: caller rescans solo (which IS `hd`)
+        assert bf.n_good == hd.n_good
+        assert bf.first_err == hd.first_err
+        np.testing.assert_array_equal(bf.events, hd.events)
+        np.testing.assert_array_equal(bf.pcm, hd.pcm)
+    # the corruption above must actually exercise the overflow -> solo
+    # rescan branch; if the event slot grows later, re-tune this fixture
+    assert n_overflowed >= 1
+    # end to end: decode_corpus_host (batch + rescans + finalize) must
+    # equal a per-file decode_host reassembly on the same hostile corpus
+    from libacm_tpu.parallel.corpus import (_FileEntry, _apply_host_decode,
+                                            _finalize, decode_corpus_host,
+                                            resolve_channels)
+
+    got = decode_corpus_host(files)
+    for i, (data, header, r) in enumerate(zip(files, headers, got)):
+        e = _FileEntry(index=i, src=data, header=header, nbytes=len(data),
+                       channels=resolve_channels(header.channels,
+                                                 header.wavc_file, 0))
+        _apply_host_decode(e, native.decode_host(data, header))
+        want = _finalize(e, e.host_pcm, header.block_len)
+        assert r.status == want.status
+        assert r.filler_words == want.filler_words
+        np.testing.assert_array_equal(r.pcm, want.pcm)
+
+
 def test_corpus_config_host_workers_routing():
     """CorpusConfig.host_workers reaches the host path through
     decode_corpus (one precedence rule across both entry points)."""

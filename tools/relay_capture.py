@@ -48,9 +48,11 @@ def capture(rtt: float, mbps: float) -> dict:
         "link_MBps": round(mbps, 1),
         "total_Msamples": round(total / 1e6, 1),
     }
-    # warmup/compile round (deadline-guarded: the window can die mid-run)
+    # warmup/compile round (deadline-guarded: the window can die mid-run;
+    # generous budget — a cold remote compile costs minutes per program
+    # and the cache entries persist across attempts either way)
     cs, ok = bench._deadline(
-        lambda: decode_corpus_device(paths).checksum(), 600.0,
+        lambda: decode_corpus_device(paths).checksum(), 1500.0,
         "device warmup")
     if not ok:
         rec["status"] = "stalled during warmup"

@@ -99,9 +99,27 @@ def main() -> int:
     if jax.default_backend() in ("cpu", "gpu"):
         log("no TPU backend; nothing to capture")
         return 0
+    sweep_done = False
     while time.time() < deadline:
         rtt, mbps = bench.safe_probe(timeout_s=240.0)
         log(f"probe: rtt={rtt:.2f} s bulk={mbps:.1f} MB/s")
+        if rtt != float("inf") and rtt < 5.0 and not sweep_done:
+            # compile-warm + run the on-HW parity sweep while the link
+            # answers: entries persist in .jax_comp_cache, so the
+            # driver's round-end bench sweep cache-hits afterwards
+            import subprocess
+            import sys as _sys
+
+            here = pathlib.Path(__file__).resolve().parent
+            try:
+                r = subprocess.run(
+                    [_sys.executable, str(here / "pallas_parity_sweep.py")],
+                    capture_output=True, text=True, timeout=1500)
+                tail = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+                log(f"parity sweep: rc={r.returncode} {tail}")
+                sweep_done = r.returncode == 0 and "PASS" in r.stdout
+            except subprocess.TimeoutExpired:
+                log("parity sweep: timed out (remote compile service)")
         if rtt != float("inf") and rtt < 5.0 and mbps >= 1.0:
             rec = capture(rtt, mbps)
             with OUT.open("a") as f:

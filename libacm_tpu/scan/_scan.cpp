@@ -532,8 +532,12 @@ struct TopMask {
 const TopMask TOPMASK;
 
 // Generic bulk-nibble fallback: unpack 4-bit two's complement and put().
+// n may be 17 (a final two-zero advance can overhang row 16 when the
+// LUT window is wider than 8 bits); values only ever live at rows
+// <= 15, so the extraction is capped below the u64's 16 nibbles.
 template <typename Sink>
 inline void put_nibs_generic(Sink& s, int i, uint64_t nibs, int n) {
+  if (n > 16) n = 16;
   for (int j = 0; j < n; j++) {
     int v = static_cast<int>((nibs >> (4 * j)) & 0xF);
     if (v) s.put(i + j, (v ^ 8) - 8);  // pre-zeroed dst: zeros are free
@@ -688,6 +692,19 @@ struct MapLutEntry {
 template <typename Sink>
 inline void sink_apply_lut(Sink& s, int i, const MapLutEntry& e) {
   put_nibs_generic(s, i, e.nibs, e.nrows);
+}
+template <>
+inline void sink_apply_lut<StridedSink>(StridedSink& s, int i,
+                                        const MapLutEntry& e) {
+  // branchless: the destination is pre-zeroed, so writing the zero
+  // nibbles too costs a store but removes a data-dependent branch per
+  // row (map-filler content mixes zeros and values unpredictably);
+  // capped at 16 like put_nibs_generic (rows beyond 15 hold no values)
+  int n = e.nrows > 16 ? 16 : e.nrows;
+  for (int j = 0; j < n; j++) {
+    int v = static_cast<int>((e.nibs >> (4 * j)) & 0xF);
+    s.put(i + j, (v ^ 8) - 8);
+  }
 }
 template <>
 inline void sink_apply_lut<Nib4Sink>(Nib4Sink& s, int i,

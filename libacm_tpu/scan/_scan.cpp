@@ -1297,9 +1297,16 @@ inline void pass0_avx_l8(const int16_t* k, uint32_t val,
 // Final pass (L == 1) with >>level + int16 narrowing fused: the whole
 // chunk is computed in int32, arithmetically shifted (vpsrad with a
 // runtime count), and truncated to int16 (vpmovdw) — one 32-byte store
-// of PCM per 16 samples.
-inline void pass_pack_avx(const uint32_t* x, int16_t* dst, int64_t n,
-                          int level, uint32_t h0, uint32_t h1) {
+// of PCM per 16 samples. NT=true uses non-temporal stores: the batched
+// corpus decode writes a PCM arena far larger than the LLC exactly once
+// and native code never reads it back, so bypassing the cache saves the
+// read-for-ownership of every output line (~half the arena's memory
+// traffic) and keeps the scratch buffers resident. Same values either
+// way; callers that re-read PCM (single-file decode, windowed streams)
+// keep the cached stores.
+template <bool NT>
+inline void pass_pack_avx_t(const uint32_t* x, int16_t* dst, int64_t n,
+                            int level, uint32_t h0, uint32_t h1) {
   alignas(64) uint32_t mb[16];
   for (int j = 0; j < 16; j++) mb[j] = (j & 1) ? ~0u : 0u;
   const __m512i M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
@@ -1324,10 +1331,26 @@ inline void pass_pack_avx(const uint32_t* x, int16_t* dst, int64_t n,
     const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
     const __m512i r = _mm512_sra_epi32(
         _mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts), SH);
-    _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + i),
-                        _mm512_cvtepi32_epi16(r));
+    const __m256i pcm16 = _mm512_cvtepi32_epi16(r);
+    if constexpr (NT)
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(dst + i), pcm16);
+    else
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + i), pcm16);
     prev = cur;
   }
+}
+
+// Streaming stores need 32-byte-aligned destinations; the batch arena's
+// per-file offsets are rounded to 64 bytes Python-side, and every avx_ok
+// geometry (cols >= 16) keeps block strides a 32-byte multiple, so the
+// check only ever demotes exotic callers to the cached path.
+inline void pass_pack_avx(const uint32_t* x, int16_t* dst, int64_t n,
+                          int level, uint32_t h0, uint32_t h1,
+                          bool nt = false) {
+  if (nt && (reinterpret_cast<uintptr_t>(dst) & 31) == 0)
+    pass_pack_avx_t<true>(x, dst, n, level, h0, h1);
+  else
+    pass_pack_avx_t<false>(x, dst, n, level, h0, h1);
 }
 // Mid passes (L in {16, 32}): x[i-L] and x[i-2L] fall on whole previous
 // 16-lane chunks, so a register-carried chunk ring replaces the three
@@ -1464,7 +1487,8 @@ inline void pass0_dequant_small(const int16_t* __restrict k, uint32_t val,
 // through memory than the staged pipeline.
 inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
                             int rows, int cols, uint32_t* wrap,
-                            uint32_t* xbuf, uint32_t* ybuf, int16_t* dst) {
+                            uint32_t* xbuf, uint32_t* ybuf, int16_t* dst,
+                            bool nt = false) {
   const int64_t n = static_cast<int64_t>(rows) * cols;
   if (level == 0) {  // no passes, no bias; >>0 keeps the low 16 bits
     for (int64_t i = 0; i < n; i++)
@@ -1560,7 +1584,7 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
   w[1] = x[n - 1];
 #if defined(__AVX512F__)
   if (avx_ok) {
-    pass_pack_avx(x, dst, n, level, h0, h1);
+    pass_pack_avx(x, dst, n, level, h0, h1, nt);
     return;
   }
 #endif
@@ -1601,6 +1625,7 @@ struct SynthEmitter {
   int64_t nb = 0;
   uint32_t last_val[17] = {0};  // virtual amp table: val per exponent
   bool covered[17] = {false};
+  bool nt = false;  // non-temporal PCM stores (batch arena path only)
 
   void begin_block() {
     std::memset(kbuf, 0, block_elems * sizeof(int16_t));
@@ -1636,7 +1661,7 @@ struct SynthEmitter {
   void commit_block(uint32_t pwr, uint32_t val, bool oor) {
     if (!oor) {
       synth_pcm_block(kbuf, val, level, rows, cols, wrap, xbuf, ybuf,
-                      pcm_out + nb * block_elems);
+                      pcm_out + nb * block_elems, nt);
     } else {
       // dequantize with stale-table reads for out-of-range indexes
       const int count = 1 << pwr;
@@ -2101,6 +2126,7 @@ int64_t acm_decode_corpus_host_batch(
     SynthEmitter em{pcm_out + pcm_off[j], wrap_buf, kbuf, xbuf + cols,
                     ybuf + cols, level, rows, cols,
                     static_cast<int64_t>(rows) * cols};
+    em.nt = true;  // arena >> LLC, written once, never read natively
     int64_t fmeta[16] = {0};
     int64_t rc = scan_driver<SynthEmitter, /*FAST=*/true>(
         datas[j], lens[j], skips[j], level, rows, cols, maxb[j], max_events,
@@ -2125,6 +2151,10 @@ int64_t acm_decode_corpus_host_batch(
       std::memcpy(events_out + ev_off[j], events_scratch,
                   n_events * sizeof(int16_t));
   }
+#if defined(__AVX512F__)
+  _mm_sfence();  // order the non-temporal PCM stores before the caller
+                 // (possibly another thread via workers>1) reads them
+#endif
   return 0;
 }
 

@@ -779,16 +779,28 @@ def _acquire_pcm(n: int) -> np.ndarray:
     as the decode itself on a warm benchmark loop). Instead, buffers are
     pooled per rounded size and reused once the caller has dropped every
     reference (slices keep the base alive, so getrefcount on the base is
-    an exact liveness test). Thread-local, like the other scan scratch."""
-    cap = _round_up_pool(n)
+    an exact liveness test). Thread-local, like the other scan scratch.
+
+    The returned view's data pointer is 64-byte aligned (numpy only
+    guarantees 16): the batched corpus decode's non-temporal PCM stores
+    need 32-byte-aligned per-file destinations, which the batch builds as
+    aligned base + 64-byte-rounded offsets. The pool stores the OWNING
+    arrays (a slice's .base is the owner, so the refcount gate stays
+    exact); the alignment offset is recomputed per acquisition."""
+    cap = _round_up_pool(n + 32)
     pool: dict[int, list] | None = getattr(_SCRATCH_TLS, "pcm_pool", None)
     if pool is None:
         pool = _SCRATCH_TLS.pcm_pool = {}
     lst = pool.setdefault(cap, [])
+
+    def _aligned_view(a: np.ndarray) -> np.ndarray:
+        off = (-a.ctypes.data % 64) // 2
+        return a[off : off + n]
+
     for a in lst:
         # refs: the list slot, the loop variable, the getrefcount argument
         if sys.getrefcount(a) == 3:
-            return a[:n]
+            return _aligned_view(a)
     # corpus-sized bound: a whole decode's outputs are typically live at
     # once (the caller holds every FileResult), so reuse only pays across
     # runs — track enough buffers for a large chunk, then stop (gc
@@ -797,7 +809,7 @@ def _acquire_pcm(n: int) -> np.ndarray:
         lst[:] = [a for a in lst if sys.getrefcount(a) == 3][:128]
     a = np.empty(cap, dtype=np.int16)
     lst.append(a)
-    return a[:n]
+    return _aligned_view(a)
 
 
 def _round_up_pool(n: int) -> int:
@@ -973,7 +985,10 @@ def decode_corpus_host_batch(
         skips[j] = 8 * (ACM_HEADER_LEN
                         + (WAVC_HEADER_LEN if h.wavc_file else 0))
         maxb[j] = nb
-        pcm_off[j + 1] = pcm_off[j] + nb * h.rows * h.cols
+        # 32-elem (64-byte) rounding keeps every file's PCM destination
+        # aligned for the native batch's non-temporal stores (the arena
+        # base is 64-byte aligned by _acquire_pcm)
+        pcm_off[j + 1] = pcm_off[j] + -(-(nb * h.rows * h.cols) // 32) * 32
         # one event per attempt; clean/truncated streams stay within
         # blocks + a few trailing attempts, and the 2x headroom absorbs
         # moderately corrupt ones (bit flips produce failed attempts

@@ -676,17 +676,24 @@ inline int one_step(BitReader& b, int ind, int rows, int& i, Sink& s) {
 #undef STEP_GET
 }
 
-// Multi-symbol LUT for the 8 map fillers (17,18,20,21,23,24,26,27): all
-// of them are TOTAL prefix codes (every bit pattern decodes; the range
-// checks live only in the t-fillers), so each 8-bit window resolves to a
-// fixed run of complete symbols. Entries are built at load time by
-// running one_step() itself over a 1-byte stream — the table can't drift
-// from the grammar.
+// Multi-symbol LUT for the 8 map fillers (17,18,20,21,23,24,26,27) and
+// the 3 trip fillers (19,22,29): each 8-bit window resolves to a fixed
+// run of complete symbols. The maps are TOTAL prefix codes (every bit
+// pattern decodes); the trips are fixed-width symbols with range checks
+// (t15 v<27, t27 v<125, t37 v<121) whose per-symbol div/mod chains the
+// LUT precomputes away — an entry simply ends before an invalid symbol,
+// and a window whose FIRST symbol is invalid gets nbits=0, which the
+// decode loop routes to the strict per-symbol step (identical failure
+// site). Entries are built at load time by running one_step() itself
+// over a 1-byte stream — the table can't drift from the grammar.
 struct MapLutEntry {
   uint64_t nibs;  // values as 4-bit two's complement at their row offsets
   uint64_t packw;  // same values packed at the filler's WIRE width
-  uint8_t nbits;  // bits consumed by the complete symbols (>= 1)
-  uint8_t nrows;  // rows produced (<= 17: a final two-zero may overhang)
+  uint8_t nbits;  // bits consumed by complete symbols (0: the window's
+                  // FIRST symbol is invalid — strict-step fallback)
+  uint8_t nrows;  // rows produced (<= 18: a final two-zero advance or an
+                  // all-zero trip tail may overhang row 15; values only
+                  // ever live at rows <= 15)
 };
 
 template <typename Sink>
@@ -723,20 +730,27 @@ inline void sink_apply_lut<BitPackSink>(BitPackSink& s, int i,
 
 struct MapLut {
   static constexpr int BITS = MAP_LUT_BITS;  // peek-window width
-  MapLutEntry e[8][1 << BITS];
+  static constexpr int NF = 11;
+  MapLutEntry e[NF][1 << BITS];
   int8_t slot[32];
 
   struct SimSink {
     uint64_t nibs = 0;
+    bool over = false;  // nonzero value at row >= 16 (trip overhang):
+                        // the u64 can't hold it, the symbol rolls back
     inline void put(int i, int v) {
-      nibs |= static_cast<uint64_t>(v & 0xF) << (4 * i);
+      if (i < 16)
+        nibs |= static_cast<uint64_t>(v & 0xF) << (4 * i);
+      else if (v & 0xF)
+        over = true;
     }
   };
 
   MapLut() {
-    constexpr int FILLERS[8] = {17, 18, 20, 21, 23, 24, 26, 27};
+    constexpr int FILLERS[NF] = {17, 18, 19, 20, 21, 22, 23, 24, 26, 27,
+                                 29};
     for (int i = 0; i < 32; i++) slot[i] = -1;
-    for (int f = 0; f < 8; f++) {
+    for (int f = 0; f < NF; f++) {
       slot[FILLERS[f]] = static_cast<int8_t>(f);
       for (int pat = 0; pat < (1 << BITS); pat++) {
         uint8_t bytes[2] = {static_cast<uint8_t>(pat),
@@ -748,14 +762,15 @@ struct MapLut {
         while (i < 16) {  // value nibbles must fit the u64
           // snapshot-and-step: a symbol that would cross the BITS-wide
           // window (EOF on a byte boundary, or the explicit consumed
-          // check for BITS % 8 != 0) is rolled back whole — reader,
-          // row cursor, AND sink (one_step writes the sink before a
-          // non-EOF return)
+          // check for BITS % 8 != 0), fail its range check (trips), or
+          // put a nonzero value past row 15 is rolled back whole —
+          // reader, row cursor, AND sink (one_step writes the sink
+          // before a non-EOF return)
           BitReader saved = b;
           int saved_i = i;
           uint64_t saved_nibs = s.nibs;
           int rc = one_step<true, SimSink>(b, FILLERS[f], 1 << 20, i, s);
-          if (rc != 0 || b.consumed_bits() > BITS) {
+          if (rc != 0 || s.over || b.consumed_bits() > BITS) {
             b = saved;
             i = saved_i;
             s.nibs = saved_nibs;
@@ -801,12 +816,14 @@ inline int decode_map_col(BitReader& b, int slot, int ind, int rows,
       continue;
     }
     const MapLutEntry& e = lut[static_cast<uint32_t>(b.res) & MASK];
-    if (i + e.nrows <= rows) {
+    if (e.nbits && i + e.nrows <= rows) {
       if (e.nibs) sink_apply_lut(s, i, e);
       b.res >>= e.nbits;
       b.avail -= e.nbits;
       i += e.nrows;
     } else {
+      // column boundary, or an invalid trip symbol heads the window
+      // (nbits == 0) — the strict step clamps/fails at the exact site
       int rc = one_step<false, Sink>(b, ind, rows, i, s);  // avail >= 8 > 7
       if (rc != 0) return rc;
     }
@@ -868,31 +885,15 @@ inline int decode_linear_col(BitReader& b, int ind, int rows, Sink& s) {
   return 0;
 }
 
-template <typename Sink>
-inline int decode_trip_col(BitReader& b, int ind, int rows, Sink& s) {
-  int i = 0;
-  while (i < rows) {
-    if (!b.ensure(32) || b.avail < 7) {
-      int rc = one_step<true, Sink>(b, ind, rows, i, s);
-      if (rc != 0) return rc;
-      continue;
-    }
-    int rc = one_step<false, Sink>(b, ind, rows, i, s);
-    if (rc != 0) return rc;
-  }
-  return 0;
-}
-
 // Sink-templated fast column decode: values / consumed bits / failure
-// sites identical to decode_column (the strict spec path).
+// sites identical to decode_column (the strict spec path). All non-zero
+// non-linear fillers (maps AND trips) run the multi-symbol LUT loop.
 template <typename Sink>
 int decode_col_sink(BitReader& b, int ind, int rows, Sink&& s) {
   if (ind == 0) return 0;
   if (ind >= 3 && ind <= 16) return decode_linear_col(b, ind, rows, s);
   int slot = MAP_LUT.slot[ind & 31];
   if (slot >= 0) return decode_map_col(b, slot, ind, rows, s);
-  if (ind == 19 || ind == 22 || ind == 29)
-    return decode_trip_col(b, ind, rows, s);
   return ERR_CORRUPT;
 }
 
@@ -1814,7 +1815,7 @@ struct PackedEmitter {
       BitPackSink s{pay[ci], bits[ci], w};
       int slot = MAP_LUT.slot[ind & 31];
       rc = slot >= 0 ? decode_map_col(b, slot, ind, rows, s)
-                     : decode_trip_col(b, ind, rows, s);
+                     : ERR_CORRUPT;  // inds 25/28/30/31: no grammar
     }
     if (rc == 0) commit_col(c, ci, w, code);
     *out = rc;

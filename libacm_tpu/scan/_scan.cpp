@@ -1222,35 +1222,9 @@ inline uint32_t dq(const int16_t* k, int64_t i, uint32_t val) {
 
 #if defined(__AVX512F__)
 // ---- AVX-512 pass bodies -------------------------------------------------
-// The small-period passes (L <= 8) read x at byte offsets -4L and -8L:
-// autovectorized they become misaligned 64-byte loads, most of which
-// split cache lines. These bodies do ONE aligned load per 16 elements
-// and synthesize the shifted vectors in-register (valignd against the
-// previous chunk). Callers gate on 64-byte-aligned x/y and level >= 4
-// (then 16 | n and the cols-word history headroom covers the x[-16..-1]
-// prologue load, of which only the top 2L lanes — the memcpy'd carry —
-// are ever selected). Bit-identical to the scalar bodies by
-// construction; enforced by the oracle/live-diff suites and the fuzzer.
-
-template <int LOG2L>
-inline void pass_avx_small(const uint32_t* x, uint32_t* y, int64_t n) {
-  constexpr int L = 1 << LOG2L;
-  alignas(64) uint32_t mb[16];
-  for (int j = 0; j < 16; j++) mb[j] = ((j >> LOG2L) & 1) ? ~0u : 0u;
-  const __m512i M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
-  __m512i prev = _mm512_loadu_si512(reinterpret_cast<const void*>(x - 16));
-  for (int64_t i = 0; i < n; i += 16) {
-    const __m512i cur =
-        _mm512_load_si512(reinterpret_cast<const void*>(x + i));
-    const __m512i xm1 = _mm512_alignr_epi32(cur, prev, 16 - L);
-    const __m512i xm2 = _mm512_alignr_epi32(cur, prev, 16 - 2 * L);
-    const __m512i t = _mm512_add_epi32(cur, xm2);
-    const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
-    _mm512_store_si512(reinterpret_cast<void*>(y + i),
-                       _mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts));
-    prev = cur;
-  }
-}
+// Pass 0 keeps dedicated chunk-carried bodies (below); every later pass
+// runs inside the fused tail (synth_tail_fused), which subsumed the old
+// per-pass pass_avx_small/_mid/_pack bodies.
 
 // Fused dequant pass 0 for L == 8 (level 4): the shifted vectors are
 // formed in the PRODUCT domain (dq is linear), so k is loaded and
@@ -1295,102 +1269,6 @@ inline void pass0_avx_l8(const int16_t* k, uint32_t val,
   }
 }
 
-// Final pass (L == 1) with >>level + int16 narrowing fused: the whole
-// chunk is computed in int32, arithmetically shifted (vpsrad with a
-// runtime count), and truncated to int16 (vpmovdw) — one 32-byte store
-// of PCM per 16 samples. NT=true uses non-temporal stores: the batched
-// corpus decode writes a PCM arena far larger than the LLC exactly once
-// and native code never reads it back, so bypassing the cache saves the
-// read-for-ownership of every output line (~half the arena's memory
-// traffic) and keeps the scratch buffers resident. Same values either
-// way; callers that re-read PCM (single-file decode, windowed streams)
-// keep the cached stores.
-template <bool NT>
-inline void pass_pack_avx_t(const uint32_t* x, int16_t* dst, int64_t n,
-                            int level, uint32_t h0, uint32_t h1) {
-  alignas(64) uint32_t mb[16];
-  for (int j = 0; j < 16; j++) mb[j] = (j & 1) ? ~0u : 0u;
-  const __m512i M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
-  const __m128i SH = _mm_cvtsi32_si128(level);
-  dst[0] = static_cast<int16_t>(
-      static_cast<int32_t>(x[0] + h0 + 2u * h1) >> level);
-  dst[1] = static_cast<int16_t>(
-      static_cast<int32_t>(2u * x[0] - x[1] - h1) >> level);
-  for (int64_t i = 2; i < 16; i++) {  // finish chunk 0 scalar
-    const uint32_t m = -static_cast<uint32_t>(i & 1);
-    const uint32_t t = x[i] + x[i - 2];
-    dst[i] = static_cast<int16_t>(
-        static_cast<int32_t>(2u * x[i - 1] + ((t ^ m) - m)) >> level);
-  }
-  __m512i prev = _mm512_load_si512(reinterpret_cast<const void*>(x));
-  for (int64_t i = 16; i < n; i += 16) {
-    const __m512i cur =
-        _mm512_load_si512(reinterpret_cast<const void*>(x + i));
-    const __m512i xm1 = _mm512_alignr_epi32(cur, prev, 15);
-    const __m512i xm2 = _mm512_alignr_epi32(cur, prev, 14);
-    const __m512i t = _mm512_add_epi32(cur, xm2);
-    const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
-    const __m512i r = _mm512_sra_epi32(
-        _mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts), SH);
-    const __m256i pcm16 = _mm512_cvtepi32_epi16(r);
-    if constexpr (NT)
-      _mm256_stream_si256(reinterpret_cast<__m256i*>(dst + i), pcm16);
-    else
-      _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + i), pcm16);
-    prev = cur;
-  }
-}
-
-// Streaming stores need 32-byte-aligned destinations; the batch arena's
-// per-file offsets are rounded to 64 bytes Python-side, and every avx_ok
-// geometry (cols >= 16) keeps block strides a 32-byte multiple, so the
-// check only ever demotes exotic callers to the cached path.
-inline void pass_pack_avx(const uint32_t* x, int16_t* dst, int64_t n,
-                          int level, uint32_t h0, uint32_t h1,
-                          bool nt = false) {
-  if (nt && (reinterpret_cast<uintptr_t>(dst) & 31) == 0)
-    pass_pack_avx_t<true>(x, dst, n, level, h0, h1);
-  else
-    pass_pack_avx_t<false>(x, dst, n, level, h0, h1);
-}
-// Mid passes (L in {16, 32}): x[i-L] and x[i-2L] fall on whole previous
-// 16-lane chunks, so a register-carried chunk ring replaces the three
-// overlapping loads per vector of the autovectorized body with ONE
-// aligned load. Same uniform-sign arithmetic on wrapping uint32 —
-// bit-identical to pass_body_small/_big by construction. Requires
-// 64-byte-aligned x/y (the avx_ok gate) and n a multiple of 2L (always
-// true: n = rows << (p+1) * L).
-template <int LOG2L>
-inline void pass_avx_mid(const uint32_t* x, uint32_t* y, int64_t n) {
-  constexpr int CH = (1 << LOG2L) / 16;  // chunks per L
-  __m512i h[2 * CH];                     // trailing 2L-word history
-  for (int t = 0; t < 2 * CH; t++)
-    h[t] = _mm512_load_si512(
-        reinterpret_cast<const void*>(x - 32 * CH + 16 * t));
-  for (int64_t i = 0; i < n; i += 32 * CH) {
-    __m512i c[2 * CH];
-    for (int j = 0; j < CH; j++) {  // even sub-rows: x + x[-2L] + 2*x[-L]
-      c[j] = _mm512_load_si512(
-          reinterpret_cast<const void*>(x + i + 16 * j));
-      _mm512_store_si512(
-          reinterpret_cast<void*>(y + i + 16 * j),
-          _mm512_add_epi32(_mm512_add_epi32(c[j], h[j]),
-                           _mm512_add_epi32(h[j + CH], h[j + CH])));
-    }
-    for (int j = CH; j < 2 * CH; j++) {  // odd: 2*x[-L] - x - x[-2L]
-      c[j] = _mm512_load_si512(
-          reinterpret_cast<const void*>(x + i + 16 * j));
-      _mm512_store_si512(
-          reinterpret_cast<void*>(y + i + 16 * j),
-          _mm512_sub_epi32(
-              _mm512_sub_epi32(_mm512_add_epi32(c[j - CH], c[j - CH]),
-                               c[j]),
-              h[j]));
-    }
-    for (int t = 0; t < 2 * CH; t++) h[t] = c[t];
-  }
-}
-
 // Fused dequant pass 0 for L in {32, 64} (levels 6/7 — the corpus
 // majority): chunk-carried history like pass_avx_mid, with the k widening
 // + k*val multiply done once per chunk (the scalar pass0_dequant re-reads
@@ -1431,6 +1309,169 @@ inline void pass0_avx_big(const int16_t* k, uint32_t val,
     }
     for (int t = 0; t < 2 * CH; t++) h[t] = c[t];
   }
+}
+// ---- Fused pass tail -----------------------------------------------------
+// All passes with L <= 32 plus the final >>level+pack pass in ONE sweep:
+// each 16-lane chunk of the first fused pass's input is pushed through
+// every remaining pass in registers and lands as PCM — one aligned load
+// and one 32-byte store per 16 samples instead of a full x/y round trip
+// per pass (the pass-at-a-time structure's L1 data-movement floor, see
+// BASELINE.md round-5 analysis). Per-pass history lives in register
+// rings initialized from the pass's wrap segment and saved back after
+// the sweep; the arithmetic per element is the exact uniform-sign
+// expression of pass_body_small / pass_body_big / the scalar pack, in the
+// same order, on wrapping uint32 — bit-identical by construction,
+// enforced by the AVX-vs-scalar pin, the oracle suites and the fuzzer.
+//
+// Stage state per fused pass: the last 2L INPUT elements (= what the
+// unfused code memcpy'd from x+n-2L into wrap). For L <= 8 the history
+// fits the top 2L lanes of one register (alignr selects them exactly as
+// the unfused small body's x-16 prologue load did); for L = 16/32 it is
+// a 2L/16-chunk rolling ring with the sign flipping every L/16 chunks.
+
+// L in {1, 2, 4, 8}: both x[i-L] and x[i-2L] fall inside prev|cur.
+template <int LOG2L>
+struct FusedStageS {
+  __m512i prev, M;
+  void init(const uint32_t* hist) {
+    constexpr int L = 1 << LOG2L;
+    alignas(64) uint32_t tmp[16] = {0};
+    std::memcpy(tmp + 16 - 2 * L, hist, 2 * L * sizeof(uint32_t));
+    prev = _mm512_load_si512(reinterpret_cast<const void*>(tmp));
+    alignas(64) uint32_t mb[16];
+    for (int j = 0; j < 16; j++) mb[j] = ((j >> LOG2L) & 1) ? ~0u : 0u;
+    M = _mm512_load_si512(reinterpret_cast<const void*>(mb));
+  }
+  inline __m512i step(__m512i cur) {
+    constexpr int L = 1 << LOG2L;
+    const __m512i xm1 = _mm512_alignr_epi32(cur, prev, 16 - L);
+    const __m512i xm2 = _mm512_alignr_epi32(cur, prev, 16 - 2 * L);
+    const __m512i t = _mm512_add_epi32(cur, xm2);
+    const __m512i ts = _mm512_sub_epi32(_mm512_xor_si512(t, M), M);
+    prev = cur;
+    return _mm512_add_epi32(_mm512_add_epi32(xm1, xm1), ts);
+  }
+  void save(uint32_t* w) const {
+    constexpr int L = 1 << LOG2L;
+    alignas(64) uint32_t tmp[16];
+    _mm512_store_si512(reinterpret_cast<void*>(tmp), prev);
+    std::memcpy(w, tmp + 16 - 2 * L, 2 * L * sizeof(uint32_t));
+  }
+};
+
+// L = 16: one-chunk history pair, sign alternating per chunk.
+struct FusedStage16 {
+  __m512i h0, h1;  // x two chunks back, one chunk back (input domain)
+  uint32_t odd = 0;
+  void init(const uint32_t* hist) {
+    h0 = _mm512_loadu_si512(reinterpret_cast<const void*>(hist));
+    h1 = _mm512_loadu_si512(reinterpret_cast<const void*>(hist + 16));
+  }
+  inline __m512i step(__m512i cur) {
+    const __m512i t = _mm512_add_epi32(cur, h0);
+    const __m512i d = _mm512_add_epi32(h1, h1);
+    const __m512i y = odd ? _mm512_sub_epi32(d, t) : _mm512_add_epi32(d, t);
+    h0 = h1;
+    h1 = cur;
+    odd ^= 1;
+    return y;
+  }
+  void save(uint32_t* w) const {
+    _mm512_storeu_si512(reinterpret_cast<void*>(w), h0);
+    _mm512_storeu_si512(reinterpret_cast<void*>(w + 16), h1);
+  }
+};
+
+// L = 32: four-chunk rolling ring, sign alternating every two chunks.
+struct FusedStage32 {
+  __m512i r0, r1, r2, r3;  // oldest .. newest input chunk
+  uint32_t phase = 0;      // chunk index mod 4; phases 0,1 add, 2,3 sub
+  void init(const uint32_t* hist) {
+    r0 = _mm512_loadu_si512(reinterpret_cast<const void*>(hist));
+    r1 = _mm512_loadu_si512(reinterpret_cast<const void*>(hist + 16));
+    r2 = _mm512_loadu_si512(reinterpret_cast<const void*>(hist + 32));
+    r3 = _mm512_loadu_si512(reinterpret_cast<const void*>(hist + 48));
+  }
+  inline __m512i step(__m512i cur) {
+    const __m512i t = _mm512_add_epi32(cur, r0);
+    const __m512i d = _mm512_add_epi32(r2, r2);
+    const __m512i y =
+        phase & 2 ? _mm512_sub_epi32(d, t) : _mm512_add_epi32(d, t);
+    r0 = r1;
+    r1 = r2;
+    r2 = r3;
+    r3 = cur;
+    phase = (phase + 1) & 3;
+    return y;
+  }
+  void save(uint32_t* w) const {
+    _mm512_storeu_si512(reinterpret_cast<void*>(w), r0);
+    _mm512_storeu_si512(reinterpret_cast<void*>(w + 16), r1);
+    _mm512_storeu_si512(reinterpret_cast<void*>(w + 32), r2);
+    _mm512_storeu_si512(reinterpret_cast<void*>(w + 48), r3);
+  }
+};
+
+// The fused tail driver: x is the output of the last unfused pass (the
+// first fused pass's input), w the wrap chain positioned at that pass's
+// segment, dst the PCM destination. START = log2 L of the first fused
+// pass (2..5; callers guarantee n is a multiple of 2*L_START and >= 16).
+// The final pack stage is the L == 1 recurrence (its dst[0]/dst[1]
+// special cases ARE the generic history form — h0/h1 ride in the top
+// lanes of a FusedStageS<0> like any other pass's history).
+template <int START, bool NT>
+inline void synth_tail_fused_t(const uint32_t* x, uint32_t* w, int16_t* dst,
+                               int64_t n, int level) {
+  FusedStage32 s32;
+  FusedStage16 s16;
+  FusedStageS<3> s8;
+  FusedStageS<2> s4;
+  FusedStageS<1> s2;
+  FusedStageS<0> sp;
+  uint32_t* wp = w;
+  if constexpr (START >= 5) { s32.init(wp); wp += 64; }
+  if constexpr (START >= 4) { s16.init(wp); wp += 32; }
+  if constexpr (START >= 3) { s8.init(wp); wp += 16; }
+  s4.init(wp);  // START >= 2 always
+  wp += 8;
+  s2.init(wp);
+  wp += 4;
+  sp.init(wp);
+  const __m128i SH = _mm_cvtsi32_si128(level);
+  for (int64_t i = 0; i < n; i += 16) {
+    __m512i c =
+        _mm512_load_si512(reinterpret_cast<const void*>(x + i));
+    if constexpr (START >= 5) c = s32.step(c);
+    if constexpr (START >= 4) c = s16.step(c);
+    if constexpr (START >= 3) c = s8.step(c);
+    c = s4.step(c);
+    c = s2.step(c);
+    c = sp.step(c);
+    const __m256i pcm =
+        _mm512_cvtepi32_epi16(_mm512_sra_epi32(c, SH));
+    if constexpr (NT)
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(dst + i), pcm);
+    else
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + i), pcm);
+  }
+  wp = w;
+  if constexpr (START >= 5) { s32.save(wp); wp += 64; }
+  if constexpr (START >= 4) { s16.save(wp); wp += 32; }
+  if constexpr (START >= 3) { s8.save(wp); wp += 16; }
+  s4.save(wp);
+  wp += 8;
+  s2.save(wp);
+  wp += 4;
+  sp.save(wp);
+}
+
+template <int START>
+inline void synth_tail_fused(const uint32_t* x, uint32_t* w, int16_t* dst,
+                             int64_t n, int level, bool nt) {
+  if (nt && (reinterpret_cast<uintptr_t>(dst) & 31) == 0)
+    synth_tail_fused_t<START, true>(x, w, dst, n, level);
+  else
+    synth_tail_fused_t<START, false>(x, w, dst, n, level);
 }
 #endif  // __AVX512F__
 
@@ -1547,22 +1588,21 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
   std::swap(x, y);
   for (int p = 1; p < level - 1; p++) {
     L = cols >> (p + 1);
-    std::memcpy(x - 2 * L, w, 2 * L * sizeof(uint32_t));  // history
-    std::memcpy(w, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
 #if defined(__AVX512F__)
     if (avx_ok && L <= 32) {
+      // every remaining pass (L, L/2, .., 2) plus the final shift+pack
+      // runs register-resident in one sweep — including all wrap
+      // segment reads/writes the unfused loop would have done
       switch (L) {
-        case 2: pass_avx_small<1>(x, y, n); break;
-        case 4: pass_avx_small<2>(x, y, n); break;
-        case 8: pass_avx_small<3>(x, y, n); break;
-        case 16: pass_avx_mid<4>(x, y, n); break;
-        default: pass_avx_mid<5>(x, y, n); break;
+        case 32: synth_tail_fused<5>(x, w, dst, n, level, nt); return;
+        case 16: synth_tail_fused<4>(x, w, dst, n, level, nt); return;
+        case 8: synth_tail_fused<3>(x, w, dst, n, level, nt); return;
+        default: synth_tail_fused<2>(x, w, dst, n, level, nt); return;
       }
-      w += 2 * L;
-      std::swap(x, y);
-      continue;
     }
 #endif
+    std::memcpy(x - 2 * L, w, 2 * L * sizeof(uint32_t));  // history
+    std::memcpy(w, x + n - 2 * L, 2 * L * sizeof(uint32_t));  // raw tail
     switch (L) {
       case 1: pass_body_small<0>(x, y, n); break;
       case 2: pass_body_small<1>(x, y, n); break;
@@ -1579,16 +1619,12 @@ inline void synth_pcm_block(const int16_t* k, uint32_t val, int level,
     std::swap(x, y);
   }
   // final pass (sub_len == 1) with >>level + int16 pack fused in; its
-  // inputs are RAW x values, so there is no serial dependency to break
+  // inputs are RAW x values, so there is no serial dependency to break.
+  // (Under avx_ok the loop above always entered the fused tail, which
+  // covers the final pass too — this is the scalar/misaligned path.)
   const uint32_t h0 = w[0], h1 = w[1];
   w[0] = x[n - 2];
   w[1] = x[n - 1];
-#if defined(__AVX512F__)
-  if (avx_ok) {
-    pass_pack_avx(x, dst, n, level, h0, h1, nt);
-    return;
-  }
-#endif
   dst[0] = static_cast<int16_t>(
       static_cast<int32_t>(x[0] + h0 + 2u * h1) >> level);
   dst[1] = static_cast<int16_t>(

@@ -160,3 +160,44 @@ def test_load_thread_safe_first_touch():
         assert results == [True] * 4
     finally:
         native._lib, native._tried = orig_lib, orig_tried
+
+
+def test_trip_lut_bitflip_sweep_matches_oracle():
+    """Deterministic pin for the trip-filler LUT paths (_scan.cpp
+    decode_map_col over slots 19/22/29): LUT entries end before an
+    invalid symbol, and a window whose FIRST symbol is invalid carries
+    nbits=0 and must fall back to the strict step at the identical
+    failure site. Every single-bit corruption of an all-trips stream
+    must decode identically to the oracle on the fused host driver —
+    events, block counts, status, AND PCM (PCM depends on every
+    decoded trip value, so this checks the values too)."""
+    from libacm_tpu.scan import native
+
+    rng = np.random.default_rng(11)
+    level, rows = 5, 24
+    cols = 1 << level
+    fillers = ([19, 22, 29] * ((cols // 3) + 1))[:cols]
+    ranges = {19: (-1, 1), 22: (-2, 2), 29: (-5, 5)}
+    k = np.zeros((rows, cols), dtype=np.int32)
+    for c, f in enumerate(fillers):
+        lo, hi = ranges[f]
+        k[:, c] = rng.integers(lo, hi + 1, size=rows)
+    blk = testing.BlockData(pwr=15, val=7, k=k, fillers=fillers)
+    base = bytearray(testing.encode_acm([blk], total_values=rows * cols))
+    # header (14 bytes) + pwr/val (20 bits); flips start inside the
+    # first trip column's payload
+    first_payload_bit = 14 * 8 + 20
+    last = len(base) * 8  # every payload bit, through the stream tail
+    for bit in range(first_payload_bit, last):
+        data = bytearray(base)
+        data[bit >> 3] ^= 1 << (bit & 7)
+        data = bytes(data)
+        scan = oracle.scan_bytes(data)
+        hd = native.decode_host(data)
+        np.testing.assert_array_equal(hd.events, scan.events)
+        assert hd.n_good == scan.n_blocks
+        assert hd.status == scan.status
+        if hd.oor:
+            continue  # stale-amp streams: callers use the oracle
+        want = oracle.words_to_pcm(oracle.synth_all(scan), level)
+        np.testing.assert_array_equal(hd.pcm, want.reshape(-1))

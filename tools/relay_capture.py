@@ -117,7 +117,11 @@ def main() -> int:
                     capture_output=True, text=True, timeout=1500)
                 tail = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
                 log(f"parity sweep: rc={r.returncode} {tail}")
-                sweep_done = r.returncode == 0 and "PASS" in r.stdout
+                # the sweep prints per-level OK/MISMATCH lines and encodes
+                # the verdict in rc (bench.py maps rc==0 -> PASS); require
+                # at least one real per-level line so the no-TPU early
+                # exit doesn't count as done
+                sweep_done = r.returncode == 0 and "OK [" in r.stdout
             except subprocess.TimeoutExpired:
                 log("parity sweep: timed out (remote compile service)")
         if rtt != float("inf") and rtt < 5.0 and mbps >= 1.0:

@@ -531,3 +531,65 @@ def test_main_crash_fallback_emits_one_line(bench, monkeypatch, capsys):
     d = json.loads(lines[0])
     assert d["headline_path"] == "host-crashfallback"
     assert d["metric"] == "corpus_decode_Msamples_per_s"
+
+
+def test_parity_sweep_salvages_partial_output_on_timeout(bench, monkeypatch):
+    """A hard subprocess timeout mid-level must salvage the per-level
+    lines already flushed to the pipe into a PARTIAL verdict, not drop a
+    13-level sweep to 'timed out' (the r04 rehearsal failure mode)."""
+    import subprocess as sp
+
+    partial = ("level  1: rows  128 OK [tpu]\n"
+               "level  2: rows   96 OK [tpu]\n")
+
+    def fake_run(argv, timeout, capture_output, text):
+        assert any(a.startswith("--deadline-s=") for a in argv)
+        raise sp.TimeoutExpired(argv, timeout, output=partial)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    got = bench.pallas_parity_sweep(300.0)
+    assert got == "PARTIAL: levels 1,2 OK (timed out mid-level)"
+
+
+def test_parity_sweep_parses_result_lines(bench, monkeypatch):
+    """The tool's flushed SWEEP RESULT line is authoritative: PASS,
+    clean-deadline PARTIAL, and any MISMATCH -> FAIL."""
+    import subprocess as sp
+
+    cases = [
+        ("level  1: rows  128 OK [tpu]\nSWEEP RESULT: PASS ok=13 levels\n",
+         0, "PASS"),
+        ("level  1: rows  128 OK [tpu]\nDEADLINE: stopping before level 2\n"
+         "SWEEP RESULT: PARTIAL ok=1\n", 0,
+         "PARTIAL: levels 1 OK (deadline)"),
+        ("level  1: rows  128 MISMATCH [tpu]\n"
+         "SWEEP RESULT: FAIL mismatch=1\n", 1, "FAIL"),
+    ]
+    for out, rc, want in cases:
+        monkeypatch.setattr(
+            bench.subprocess, "run",
+            lambda argv, timeout, capture_output, text, _o=out, _r=rc:
+            sp.CompletedProcess(argv, _r, stdout=_o, stderr=""))
+        assert bench.pallas_parity_sweep(300.0) == want
+
+
+def test_compute_phase_never_downgrades_partial_sweep(bench, monkeypatch):
+    """Re-entering the compute phase with an existing PARTIAL verdict
+    must keep it unless the retry proves MORE (more levels, PASS, or a
+    FAIL — which always surfaces)."""
+    artifact = _blank_artifact()
+    artifact["pallas_shootout"] = {}
+    artifact["pallas_parity_sweep"] = "PARTIAL: levels 1,2,3 OK (deadline)"
+
+    monkeypatch.setattr(
+        bench, "pallas_parity_sweep",
+        lambda t: "sweep timed out (remote compile service)")
+    bench._compute_phase(artifact, geoms={}, deadline=time.time() + 3600,
+                         rtt_s=0.1)
+    assert artifact["pallas_parity_sweep"] == \
+        "PARTIAL: levels 1,2,3 OK (deadline)"
+
+    monkeypatch.setattr(bench, "pallas_parity_sweep", lambda t: "PASS")
+    bench._compute_phase(artifact, geoms={}, deadline=time.time() + 3600,
+                         rtt_s=0.1)
+    assert artifact["pallas_parity_sweep"] == "PASS"

@@ -17,6 +17,8 @@ os.environ.setdefault(
 )
 sys.path.insert(0, _REPO)
 
+import time  # noqa: E402
+
 import numpy as np  # noqa: E402
 
 
@@ -29,12 +31,29 @@ def main() -> int:
 
     if jax.default_backend() in ("cpu", "gpu"):
         print(f"sweep skipped: no TPU ({jax.default_backend()} backend; "
-              "CI covers interpreter-mode parity)")
+              "CI covers interpreter-mode parity)", flush=True)
         return 0
-    levels = [int(a) for a in sys.argv[1:]] or list(range(1, 15))
+    # --deadline-s=N: stop cleanly BETWEEN levels when the budget is
+    # nearly gone and still print the summary line, so a slow remote
+    # compile service yields a partial verdict instead of a killed
+    # subprocess with an empty pipe (bench.py parses SWEEP RESULT).
+    deadline = None
+    levels = []
+    for a in sys.argv[1:]:
+        if a.startswith("--deadline-s="):
+            deadline = time.monotonic() + float(a.split("=", 1)[1])
+        else:
+            levels.append(int(a))
+    levels = levels or list(range(1, 15))
     rng = np.random.default_rng(7)
     failures = 0
+    ok_levels: list[int] = []
+    stopped = False
     for level in levels:
+        if deadline is not None and deadline - time.monotonic() < 45:
+            print(f"DEADLINE: stopping before level {level}", flush=True)
+            stopped = True
+            break
         cols = 1 << level
         # rows: near the classic 2048-word block, rounded up so
         # rows*cols is a multiple of 128 (the kernel's supported set);
@@ -44,7 +63,8 @@ def main() -> int:
         mult = max(1, 128 // cols)
         rows = -(-base // mult) * mult
         if not pallas_supported(level, rows):
-            print(f"level {level:2d}: skipped (unsupported geometry)")
+            print(f"level {level:2d}: skipped (unsupported geometry)",
+                  flush=True)
             continue
         k = rng.integers(-300, 300, (2, 8, rows, cols)).astype(np.int16)
         vals = rng.integers(1, 3000, (2, 8)).astype(np.int32)
@@ -56,8 +76,18 @@ def main() -> int:
                                  jnp.asarray(wrap0), level=level, rows=rows)
         ok = bool(jnp.array_equal(a, b)) and bool(jnp.array_equal(wa, wb))
         print(f"level {level:2d}: rows {rows:4d} "
-              f"{'OK' if ok else 'MISMATCH'} [{jax.default_backend()}]")
+              f"{'OK' if ok else 'MISMATCH'} [{jax.default_backend()}]",
+              flush=True)
         failures += 0 if ok else 1
+        if ok:
+            ok_levels.append(level)
+    if failures:
+        print(f"SWEEP RESULT: FAIL mismatch={failures}", flush=True)
+    elif stopped:
+        print("SWEEP RESULT: PARTIAL ok="
+              + ",".join(str(v) for v in ok_levels), flush=True)
+    else:
+        print(f"SWEEP RESULT: PASS ok={len(ok_levels)} levels", flush=True)
     return 1 if failures else 0
 
 

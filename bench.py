@@ -784,19 +784,23 @@ def _recovery_loop(artifact: dict, ref, files, total_samples: int,
             continue
         artifact["relay_probe_s"] = round(rtt, 3)
         artifact["link_MBps"] = round(mbps, 1)
-        if {"shootout", "compute", "parity"} & set(missing):
-            try:
-                _compute_phase(artifact, geoms, deadline, rtt)
-            except Exception as exc:
-                log(f"recovered-window compute phase failed "
-                    f"({type(exc).__name__}: {exc})")
-        if "device-resident" in _missing_device_evidence(artifact) \
-                and mbps >= 1.0:
+        # Bulk-hungry work first: device-resident rounds need this
+        # window's bandwidth NOW (good-bulk windows are the rare
+        # resource), while the shootout/sweep only need a responsive
+        # RTT and can run in the degraded tail of the window.
+        if "device-resident" in missing and mbps >= 1.0:
             try:
                 _recovery_device_rounds(artifact, ref, files, total_samples,
                                         ref_t, deadline, mbps)
             except Exception as exc:
                 log(f"recovery device rounds failed "
+                    f"({type(exc).__name__}: {exc})")
+        if {"shootout", "compute", "parity"} \
+                & set(_missing_device_evidence(artifact)):
+            try:
+                _compute_phase(artifact, geoms, deadline, rtt)
+            except Exception as exc:
+                log(f"recovered-window compute phase failed "
                     f"({type(exc).__name__}: {exc})")
         missing = _missing_device_evidence(artifact)
     if missing:

@@ -593,3 +593,37 @@ def test_compute_phase_never_downgrades_partial_sweep(bench, monkeypatch):
     bench._compute_phase(artifact, geoms={}, deadline=time.time() + 3600,
                          rtt_s=0.1)
     assert artifact["pallas_parity_sweep"] == "PASS"
+
+
+def test_recovery_loop_runs_device_rounds_before_sweep(bench, monkeypatch):
+    """In a recovered window with usable bulk, the bulk-hungry
+    device-resident rounds must run BEFORE the compile-heavy compute
+    phase — good-bulk windows are the rare resource, and a 900 s sweep
+    first can eat the whole window."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "safe_probe", lambda *a, **k: (0.1, 2.0))
+    order = []
+
+    def fake_rounds(artifact, *a, **k):
+        order.append("device")
+        artifact["device_resident_Msamples_per_s"] = 50.0
+
+    def fake_compute(artifact, geoms, deadline, rtt):
+        order.append("compute")
+        artifact["pallas_shootout"] = {}
+        artifact["device_compute_Msamples_per_s"] = 1.0
+        artifact["pallas_parity_sweep"] = "PASS"
+
+    monkeypatch.setattr(bench, "_recovery_device_rounds", fake_rounds)
+    monkeypatch.setattr(bench, "_compute_phase", fake_compute)
+
+    artifact = _blank_artifact()
+    t0 = time.time()
+    bench._recovery_loop(artifact, ref=object(), files=["f"],
+                         total_samples=1, geoms={}, ref_t=[1.0],
+                         t_start=t0, probe_deadline=t0 + 3600,
+                         deadline=t0 + 3600)
+    assert order == ["device", "compute"]

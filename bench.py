@@ -829,8 +829,11 @@ def _scan_once(native, datas) -> float:
     return time.perf_counter() - t0
 
 
-def pallas_parity_sweep(timeout_s: float = 900.0) -> str:
+def pallas_parity_sweep(timeout_s: float = 900.0, echo=None) -> str:
     """On-HW pallas-vs-XLA sweep in a subprocess (timeout-bounded).
+    `echo` overrides the per-line logger (default: bench's stderr log) so
+    callers like the relay watcher keep the per-level evidence lines in
+    their own timestamped log stream.
 
     Partial-credit protocol: the tool self-deadlines BETWEEN levels and
     prints a flushed `SWEEP RESULT:` line; if the hard subprocess
@@ -852,7 +855,7 @@ def pallas_parity_sweep(timeout_s: float = 900.0) -> str:
         if isinstance(out, bytes):
             out = out.decode("utf-8", errors="replace")
     for line in out.splitlines():
-        log("  " + line)
+        (echo or log)("  " + line)
     result = next((ln for ln in out.splitlines()
                    if ln.startswith("SWEEP RESULT:")), "")
     if "FAIL" in result or " MISMATCH " in out:
@@ -870,7 +873,14 @@ def pallas_parity_sweep(timeout_s: float = 900.0) -> str:
         return "sweep timed out (remote compile service)"
     if "no TPU" in out:
         return "skipped (no TPU backend)"
-    return "PASS" if rc == 0 else "FAIL"
+    if rc == 0:
+        return "PASS"
+    # rc != 0 with no mismatch evidence in the output is a CRASH
+    # (SIGSEGV from mmap exhaustion, import error, TPU init dying on a
+    # half-dead relay) — never record it as a parity FAIL: FAIL is
+    # terminal, outranks earned PARTIALs, and documents a bit-equality
+    # mismatch that did not happen. Low rank -> retried next window.
+    return f"error (sweep subprocess crashed, rc={rc})"
 
 
 def main() -> int:

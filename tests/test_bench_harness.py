@@ -627,3 +627,19 @@ def test_recovery_loop_runs_device_rounds_before_sweep(bench, monkeypatch):
                          t_start=t0, probe_deadline=t0 + 3600,
                          deadline=t0 + 3600)
     assert order == ["device", "compute"]
+
+
+def test_parity_sweep_crash_is_not_a_fail_verdict(bench, monkeypatch):
+    """rc != 0 with no mismatch evidence in the output is a subprocess
+    crash (segfault, import error, TPU init dying) — it must NOT be
+    recorded as the terminal parity FAIL, which outranks and destroys
+    earned PARTIAL evidence."""
+    import subprocess as sp
+
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda argv, timeout, capture_output, text:
+        sp.CompletedProcess(argv, -11, stdout="", stderr="Segmentation"))
+    got = bench.pallas_parity_sweep(300.0)
+    assert got.startswith("error (sweep subprocess crashed")
+    assert bench._sweep_rank(got) < bench._sweep_rank("PARTIAL: levels 1 OK")

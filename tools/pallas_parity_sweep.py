@@ -23,6 +23,22 @@ import numpy as np  # noqa: E402
 
 
 def main() -> int:
+    # --deadline-s=N: stop cleanly BETWEEN levels when the budget is
+    # nearly gone and still print the summary line, so a slow remote
+    # compile service yields a partial verdict instead of a killed
+    # subprocess with an empty pipe (bench.py parses SWEEP RESULT).
+    # Anchor the clock BEFORE the jax import: TPU backend init against a
+    # degraded relay can itself take tens of seconds, and the parent's
+    # hard timeout budget includes it.
+    deadline = None
+    levels = []
+    for a in sys.argv[1:]:
+        if a.startswith("--deadline-s="):
+            deadline = time.monotonic() + float(a.split("=", 1)[1])
+        else:
+            levels.append(int(a))
+    levels = levels or list(range(1, 15))
+
     import jax
     import jax.numpy as jnp
 
@@ -33,18 +49,6 @@ def main() -> int:
         print(f"sweep skipped: no TPU ({jax.default_backend()} backend; "
               "CI covers interpreter-mode parity)", flush=True)
         return 0
-    # --deadline-s=N: stop cleanly BETWEEN levels when the budget is
-    # nearly gone and still print the summary line, so a slow remote
-    # compile service yields a partial verdict instead of a killed
-    # subprocess with an empty pipe (bench.py parses SWEEP RESULT).
-    deadline = None
-    levels = []
-    for a in sys.argv[1:]:
-        if a.startswith("--deadline-s="):
-            deadline = time.monotonic() + float(a.split("=", 1)[1])
-        else:
-            levels.append(int(a))
-    levels = levels or list(range(1, 15))
     rng = np.random.default_rng(7)
     failures = 0
     ok_levels: list[int] = []

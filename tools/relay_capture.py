@@ -110,7 +110,7 @@ def main() -> int:
             # bench's wrapper applies the partial-credit protocol, so a
             # slow window still logs "PARTIAL: levels … OK" and the next
             # responsive window resumes on warm cache entries.
-            verdict = bench.pallas_parity_sweep(1500.0)
+            verdict = bench.pallas_parity_sweep(1500.0, echo=log)
             log(f"parity sweep: {verdict}")
             sweep_done = verdict == "PASS"
         if rtt != float("inf") and rtt < 5.0 and mbps >= 1.0:
